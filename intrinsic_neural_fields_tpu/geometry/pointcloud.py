@@ -1,0 +1,87 @@
+"""Point-cloud support: local triangulation + point-cloud Laplacian.
+
+Replaces the reference's custom potpourri3d `PointCloudLocalTriangulation`
+(reference mesh.py:19-36) and `robust_laplacian.point_cloud_laplacian`
+(reference mesh.py:129-133). Both are host-side preprocessing; numpy/scipy.
+
+`local_triangulation` builds, for every point, a Delaunay triangulation of
+its k nearest neighbors projected onto the PCA tangent plane, and keeps the
+triangles incident to the point. The union (deduplicated) gives a triangle
+soup covering the surface, which is exactly what the downstream pipeline
+needs: ray intersection targets and vertex triples for barycentric
+eigenfeature interpolation.
+
+`point_cloud_laplacian` assembles an intrinsically-mollified cotan Laplacian
+over that (generally nonmanifold) local triangulation with a barycentric
+lumped mass — the same family of operators as Sharp & Crane's point-cloud
+Laplacian (theirs adds the tufted-cover construction; planned extension).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import Delaunay, cKDTree
+
+
+def _tangent_basis(neighbors):
+    """PCA tangent plane basis (two in-plane unit vectors) of a local patch."""
+    centered = neighbors - neighbors.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return vt[0], vt[1]
+
+
+def local_triangulation(points, n_neighbors=16):
+    """Per-point tangent-plane Delaunay triangulation, union over all points.
+
+    Returns faces i32 [F,3] indexing into `points`. Orientation is made
+    locally consistent with the PCA normal but is globally arbitrary (the
+    ray tracer treats triangles as two-sided).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    n = points.shape[0]
+    k = min(n_neighbors, n)
+    tree = cKDTree(points)
+    _, knn = tree.query(points, k=k)
+
+    seen = set()
+    faces = []
+    for i in range(n):
+        idxs = knn[i]
+        nbrs = points[idxs]
+        e1, e2 = _tangent_basis(nbrs)
+        centered = nbrs - points[i]
+        uv = np.stack([centered @ e1, centered @ e2], axis=-1)
+        try:
+            tri = Delaunay(uv)
+        except Exception:
+            continue
+        for simplex in tri.simplices:
+            if 0 not in simplex:  # keep only triangles incident to the center
+                continue
+            f = tuple(int(idxs[s]) for s in simplex)
+            key = tuple(sorted(f))
+            if len(set(key)) < 3 or key in seen:
+                continue
+            seen.add(key)
+            faces.append(f)
+    if not faces:
+        return np.zeros((0, 3), dtype=np.int32)
+    return np.asarray(faces, dtype=np.int32)
+
+
+def point_cloud_laplacian(points, n_neighbors=16):
+    """(L PSD csr, M diagonal csr) over the local triangulation of `points`."""
+    from .laplacian import barycentric_mass_matrix, cotan_laplacian
+
+    points = np.asarray(points, dtype=np.float64)
+    faces = local_triangulation(points, n_neighbors=n_neighbors)
+    if faces.shape[0] == 0:
+        raise RuntimeError("point_cloud_laplacian: local triangulation produced no faces")
+    L = cotan_laplacian(points, faces, mollify=True)
+    M = barycentric_mass_matrix(points, faces)
+    # Guard against isolated points (zero mass rows make the pencil singular).
+    d = M.diagonal()
+    eps = 1e-12 * d[d > 0].mean()
+    import scipy.sparse as sparse
+
+    M = sparse.diags(np.maximum(d, eps)).tocsr()
+    return L, M

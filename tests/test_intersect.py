@@ -1,0 +1,137 @@
+import numpy as np
+import jax.numpy as jnp
+
+from intrinsic_neural_fields_tpu.geometry.primitives import cube, icosphere
+from intrinsic_neural_fields_tpu.ops import (
+    hit_points_xyz,
+    intersect_rays,
+    intersect_rays_numpy,
+    interpolate_vertex_features,
+    pixel_grid_coords,
+    ray_origins_and_directions,
+)
+
+
+def _look_at_cam(eye, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
+    """OpenCV-convention camera-to-world: +z forward, +x right, +y down."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    if np.linalg.norm(right) < 1e-8:
+        right = np.array([1.0, 0.0, 0.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=-1)
+    return np.concatenate([R, eye[:, None]], axis=-1).astype(np.float32)  # 3x4
+
+
+def _simple_K(H, W, f=1.2):
+    return np.array(
+        [[f * W, 0, (W - 1) / 2.0], [0, f * W, (H - 1) / 2.0], [0, 0, 1.0]],
+        dtype=np.float32,
+    )
+
+
+def test_ray_gen_center_pixel_points_forward():
+    H = W = 33
+    cam = _look_at_cam(np.array([0.0, -3.0, 0.0]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    o, d = ray_origins_and_directions(cam, K, coords)
+    o, d = np.asarray(o), np.asarray(d)
+    center = (H // 2) * W + W // 2
+    np.testing.assert_allclose(o[center], [0, -3, 0], atol=1e-6)
+    np.testing.assert_allclose(d[center], [0, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+
+
+def test_sphere_hit_distance_analytic():
+    m = icosphere(4)  # fine sphere, radius 1
+    eye = np.array([0.0, -3.0, 0.0])
+    cam = _look_at_cam(eye)
+    K = _simple_K(65, 65)
+    coords = pixel_grid_coords(65, 65)
+    o, d = ray_origins_and_directions(cam, K, coords)
+    hits = intersect_rays(
+        jnp.asarray(m.vertices, jnp.float32), jnp.asarray(m.faces), o, d
+    )
+    t = np.asarray(hits.t)
+    valid = np.asarray(hits.valid)
+    center = (65 // 2) * 65 + 65 // 2
+    assert valid[center]
+    # center ray hits the sphere head-on at distance |eye| - 1
+    assert abs(t[center] - 2.0) < 5e-3
+    assert valid.sum() > 0.2 * valid.size
+
+
+def test_xla_intersection_matches_numpy_oracle(rng):
+    m = icosphere(2)
+    R = 500
+    origins = rng.normal(size=(R, 3)) * 0.1 + np.array([0, -4.0, 0])
+    targets = rng.normal(size=(R, 3)) * 0.5
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    t0, f0, b0, v0 = intersect_rays_numpy(m.vertices, m.faces, origins, dirs)
+    hits = intersect_rays(
+        jnp.asarray(m.vertices, jnp.float32),
+        jnp.asarray(m.faces),
+        jnp.asarray(origins, jnp.float32),
+        jnp.asarray(dirs, jnp.float32),
+    )
+    v1 = np.asarray(hits.valid)
+    # Hit/miss agreement except possibly on razor-edge grazing rays
+    assert (v0 != v1).mean() < 0.01
+    both = v0 & v1
+    np.testing.assert_allclose(np.asarray(hits.t)[both], t0[both], rtol=1e-3, atol=1e-4)
+    same_face = np.asarray(hits.face_idx)[both] == f0[both]
+    # ties along shared edges can pick either face; positions must still agree
+    p_xla = hit_points_xyz(
+        jnp.asarray(m.vertices, jnp.float32),
+        jnp.asarray(m.faces)[np.asarray(hits.face_idx)[both]],
+        jnp.asarray(hits.bary)[both],
+    )
+    p_np = np.einsum(
+        "bj,bjk->bk", b0[both], m.vertices[m.faces[f0[both]]]
+    )
+    np.testing.assert_allclose(np.asarray(p_xla), p_np, atol=2e-4)
+    assert same_face.mean() > 0.99
+
+
+def test_cube_face_and_barycentric_exactness():
+    m = cube(2.0)  # faces at +-1
+    # ray along +x hitting the x=+1 face at a known point
+    origins = np.array([[-5.0, 0.2, 0.3]], dtype=np.float32)
+    dirs = np.array([[1.0, 0.0, 0.0]], dtype=np.float32)
+    hits = intersect_rays(
+        jnp.asarray(m.vertices, jnp.float32), jnp.asarray(m.faces), origins, dirs
+    )
+    assert bool(hits.valid[0])
+    np.testing.assert_allclose(float(hits.t[0]), 4.0, rtol=1e-5)
+    p = hit_points_xyz(
+        jnp.asarray(m.vertices, jnp.float32),
+        jnp.asarray(m.faces)[hits.face_idx],
+        hits.bary,
+    )
+    np.testing.assert_allclose(np.asarray(p)[0], [-1.0, 0.2, 0.3], atol=1e-5)
+
+
+def test_interpolation_exact_at_vertices():
+    m = icosphere(1)
+    E = np.random.default_rng(0).normal(size=(m.num_vertices, 7)).astype(np.float32)
+    vids = jnp.asarray(m.faces[:5])
+    bary = jnp.asarray(np.eye(3)[np.array([0, 1, 2, 0, 1])], jnp.float32)
+    out = interpolate_vertex_features(jnp.asarray(E), vids, bary)
+    expected = E[m.faces[:5][np.arange(5), np.array([0, 1, 2, 0, 1])]]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+
+
+def test_miss_rays_flagged_invalid():
+    m = icosphere(2)
+    origins = np.array([[0.0, -5.0, 0.0]], dtype=np.float32)
+    dirs = np.array([[0.0, -1.0, 0.0]], dtype=np.float32)  # points away
+    hits = intersect_rays(
+        jnp.asarray(m.vertices, jnp.float32), jnp.asarray(m.faces), origins, dirs
+    )
+    assert not bool(hits.valid[0])
+    assert int(hits.face_idx[0]) == -1

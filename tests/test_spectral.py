@@ -1,0 +1,132 @@
+import numpy as np
+import pytest
+
+from intrinsic_neural_fields_tpu.geometry.laplacian import build_laplacian
+from intrinsic_neural_fields_tpu.geometry.primitives import grid_mesh, icosphere
+from intrinsic_neural_fields_tpu.spectral import (
+    compute_first_k_eigenfunctions,
+    load_first_k_eigenfunctions,
+    solve_generalized_eigenproblem,
+)
+from intrinsic_neural_fields_tpu.spectral.features import postprocess_eigenfunctions
+
+
+def test_sphere_spectrum_matches_analytic():
+    # Unit sphere LBO eigenvalues: l(l+1) with multiplicity 2l+1.
+    m = icosphere(3)
+    efuncs, evals = compute_first_k_eigenfunctions(
+        m, 15, "cotan", skip_first_efunc=False, return_evalues=True
+    )
+    analytic = [0.0] + [2.0] * 3 + [6.0] * 5 + [12.0] * 6
+    np.testing.assert_allclose(evals, analytic[: len(evals)], atol=0.25)
+    assert efuncs.shape == (m.num_vertices, 15)
+
+
+def test_flat_grid_spectrum_neumann():
+    # Unit square, natural (Neumann) BCs: eigenvalues pi^2 (m^2+n^2).
+    m = grid_mesh(40)
+    _, evals = compute_first_k_eigenfunctions(
+        m, 5, "cotan", skip_first_efunc=False, return_evalues=True
+    )
+    pi2 = np.pi ** 2
+    analytic = np.array([0.0, pi2, pi2, 2 * pi2, 4 * pi2])
+    np.testing.assert_allclose(evals, analytic, rtol=0.02, atol=0.05)
+
+
+def test_skip_first_efunc_drops_constant():
+    m = icosphere(2)
+    e_skip, v_skip = compute_first_k_eigenfunctions(
+        m, 6, "cotan", skip_first_efunc=True, return_evalues=True
+    )
+    e_all, v_all = compute_first_k_eigenfunctions(
+        m, 6, "cotan", skip_first_efunc=False, return_evalues=True
+    )
+    assert e_skip.shape[1] == 6 and e_all.shape[1] == 6
+    # first of e_all is the constant; first of e_skip matches second of e_all
+    assert np.std(e_all[:, 0]) < 1e-6
+    np.testing.assert_allclose(v_skip[:5], v_all[1:6], rtol=1e-6)
+
+
+def test_eigenvectors_m_orthonormal():
+    m = icosphere(2)
+    L, M = build_laplacian(m, "cotan")
+    evals, evecs = solve_generalized_eigenproblem(L, M, 8, method="shift_invert")
+    G = evecs.T @ (M @ evecs)
+    np.testing.assert_allclose(G, np.eye(8), atol=1e-8)
+
+
+def test_dense_and_lobpcg_match_shift_invert():
+    m = icosphere(2)
+    L, M = build_laplacian(m, "cotan")
+    v_si, _ = solve_generalized_eigenproblem(L, M, 10, method="shift_invert")
+    v_de, e_de = solve_generalized_eigenproblem(L, M, 10, method="dense")
+    np.testing.assert_allclose(v_de, v_si, rtol=1e-6, atol=1e-8)
+    G = e_de.T @ (M @ e_de)
+    np.testing.assert_allclose(G, np.eye(10), atol=1e-6)
+
+    v_lo, e_lo = solve_generalized_eigenproblem(L, M, 10, method="lobpcg", tol=1e-7)
+    np.testing.assert_allclose(v_lo, v_si, rtol=1e-3, atol=1e-4)
+
+
+def test_robust_laplacian_close_to_cotan_on_clean_mesh():
+    m = icosphere(2)
+    _, v_cot = compute_first_k_eigenfunctions(m, 8, "cotan", return_evalues=True)
+    _, v_rob = compute_first_k_eigenfunctions(m, 8, "robust", return_evalues=True)
+    np.testing.assert_allclose(v_rob, v_cot, rtol=0.05)
+
+
+def test_feature_loading_selection_and_rescale(tmp_path):
+    rng = np.random.default_rng(0)
+    E = rng.normal(size=(50, 12)).astype(np.float64)
+    evals = np.sort(rng.uniform(0.1, 5.0, size=12))
+    ef_path = str(tmp_path / "efuncs.npy")
+    ev_path = str(tmp_path / "evals.npy")
+    np.save(ef_path, E)
+    np.save(ev_path, evals)
+
+    out = load_first_k_eigenfunctions(ef_path, 5)
+    assert out.shape == (50, 5) and out.dtype == np.float32
+    rng_span = out.max(0) - out.min(0)
+    np.testing.assert_allclose(rng_span, 1.0, rtol=1e-5)
+
+    idxs = [0, 3, 7]
+    out = load_first_k_eigenfunctions(ef_path, idxs, rescale_strategy="unscaled")
+    np.testing.assert_allclose(out, E[:, idxs].astype(np.float32))
+
+    out = load_first_k_eigenfunctions(ef_path, 5, rescale_strategy="one-norm")
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_feature_hks_and_gps(tmp_path):
+    rng = np.random.default_rng(0)
+    E = rng.normal(size=(30, 6))
+    evals = np.sort(rng.uniform(0.1, 5.0, size=6))
+    ef_path, ev_path = str(tmp_path / "e.npy"), str(tmp_path / "v.npy")
+    np.save(ef_path, E)
+    np.save(ev_path, evals)
+
+    hks = load_first_k_eigenfunctions(
+        ef_path, 6, embed_strategy="hks", eigenvalues_path=ev_path, ts=16
+    )
+    assert hks.shape == (30, 16)
+    expected = (E * E) @ np.exp(-evals[:, None] @ np.logspace(-2, 0, 16)[None, :])
+    expected = expected / (expected.max(0) - expected.min(0))
+    np.testing.assert_allclose(hks, expected.astype(np.float32), rtol=1e-4)
+
+    gps = load_first_k_eigenfunctions(
+        ef_path, 6, embed_strategy="gps", eigenvalues_path=ev_path
+    )
+    w = np.sqrt(evals); w /= w[0]
+    np.testing.assert_allclose(gps, (E / w).astype(np.float32), rtol=1e-5)
+
+
+def test_negative_lambda0_sign_fix(tmp_path):
+    E = np.random.default_rng(0).normal(size=(10, 3))
+    evals = np.array([-1e-12, 0.5, 1.0])
+    ef_path, ev_path = str(tmp_path / "e.npy"), str(tmp_path / "v.npy")
+    np.save(ef_path, E)
+    np.save(ev_path, evals)
+    out = load_first_k_eigenfunctions(
+        ef_path, 3, eigenvalues_path=ev_path, rescale_strategy="unscaled"
+    )
+    assert out.shape == (10, 3)
