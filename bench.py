@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (rays/sec) on the canonical cat-scale
+workload, vs a faithful torch-CPU re-creation of the reference hot loop.
+
+Workload (matches configs/texture_reconstruction/intrinsic_cat.yaml):
+  - feature matrix [30k verts x 1023 eigenfunctions]
+  - 2^21 cached ray hits, batch 4096, L1 loss, Adam lr 1e-4
+  - TextureField: 6 layers x 128 hidden, skip at 3, sigmoid RGB
+
+Ours: the jitted lax.scan epoch from train/steps.py on the default JAX device
+(the real TPU chip under the driver). Baseline: the reference's per-batch
+torch pipeline — index_select gather + bmm barycentric interpolation +
+nn.Sequential MLP + Adam step (reference ray_dataloader.py:115-145,
+trainer.py:71-84) — on CPU, the hardware the reference actually supports here.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+V = 30_000
+K = 1023
+N = 1 << 21
+BATCH = 4096
+HIDDEN = 128
+LAYERS = 6
+SKIP = 3
+SEED = 0
+
+
+def make_arrays():
+    rng = np.random.default_rng(SEED)
+    feats = rng.normal(size=(V, K)).astype(np.float32)
+    vids = rng.integers(0, V, size=(N, 3)).astype(np.int32)
+    bary = rng.dirichlet(np.ones(3), size=N).astype(np.float32)
+    rgbs = rng.uniform(size=(N, 3)).astype(np.float32)
+    return feats, vids, bary, rgbs
+
+
+def bench_ours(feats, vids, bary, rgbs, epochs=3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from intrinsic_neural_fields_tpu.data.sampler import RayData
+    from intrinsic_neural_fields_tpu.models import init_model, make_model
+    from intrinsic_neural_fields_tpu.train.steps import create_train_state, make_epoch_fns
+
+    cfg = {"k": K, "num_layers": LAYERS, "mlp_hidden_dim": HIDDEN, "skip_layer_idx": SKIP}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    state = create_train_state(variables, optimizer)
+    train_epoch, _ = make_epoch_fns(model, optimizer, "L1")
+
+    data = RayData(
+        features=jnp.asarray(feats),
+        feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(vids),
+        barycentric_coords=jnp.asarray(bary),
+        expected_rgbs=jnp.asarray(rgbs),
+        unit_ray_dirs=None,
+        face_idxs=None,
+    )
+    num_batches = N // BATCH
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile. NOTE: sync via device_get of a value that depends on the
+    # whole epoch — on the axon RPC backend block_until_ready returns early.
+    state, m = train_epoch(state, key, data, num_batches, BATCH)
+    float(jax.device_get(m["loss"]))
+
+    times = []
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        state, m = train_epoch(state, jax.random.fold_in(key, e + 1), data, num_batches, BATCH)
+        float(jax.device_get(m["loss"]))
+        times.append(time.perf_counter() - t0)
+    return num_batches * BATCH / float(np.median(times))
+
+
+def bench_torch_cpu(feats, vids, bary, rgbs, steps=30):
+    """Reference-equivalent hot loop on torch CPU."""
+    import torch
+
+    torch.manual_seed(SEED)
+    feats_t = torch.from_numpy(feats)
+    vids_t = torch.from_numpy(vids.astype(np.int64))
+    bary_t = torch.from_numpy(bary)
+    rgbs_t = torch.from_numpy(rgbs)
+
+    layers = []
+    in_dim = K
+    for i in range(LAYERS - 1):
+        if i == 0:
+            layers.append(torch.nn.Linear(in_dim, HIDDEN))
+        elif i == SKIP:
+            layers.append((torch.nn.Linear(HIDDEN, HIDDEN), torch.nn.Linear(in_dim, HIDDEN)))
+        else:
+            layers.append(torch.nn.Linear(HIDDEN, HIDDEN))
+    head = torch.nn.Linear(HIDDEN, 3)
+    params = [p for l in layers for p in (l.parameters() if not isinstance(l, tuple)
+              else [*l[0].parameters(), *l[1].parameters()])] + list(head.parameters())
+    optim = torch.optim.Adam(params, lr=1e-4)
+
+    def forward(x):
+        h = x
+        for i, l in enumerate(layers):
+            if isinstance(l, tuple):
+                h = torch.relu(l[0](h) + l[1](x))
+            else:
+                h = torch.relu(l(h))
+        return torch.sigmoid(head(h))
+
+    def step(idx):
+        v = vids_t[idx].reshape(-1)
+        tri = feats_t[v].reshape(-1, 3, K)
+        x = torch.bmm(bary_t[idx].unsqueeze(1), tri).squeeze(1)
+        pred = forward(x)
+        loss = torch.nn.functional.l1_loss(pred, rgbs_t[idx])
+        optim.zero_grad(set_to_none=True)
+        loss.backward()
+        optim.step()
+
+    perm = torch.randperm(N)
+    for i in range(3):  # warmup
+        step(perm[i * BATCH : (i + 1) * BATCH])
+    t0 = time.perf_counter()
+    for i in range(3, 3 + steps):
+        step(perm[i * BATCH : (i + 1) * BATCH])
+    dt = time.perf_counter() - t0
+    return steps * BATCH / dt
+
+
+def main():
+    feats, vids, bary, rgbs = make_arrays()
+    baseline = bench_torch_cpu(feats, vids, bary, rgbs)
+    ours = bench_ours(feats, vids, bary, rgbs)
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(ours, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(ours / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference eval.py): renders a split, computes masked PSNR /
+DSSIM / LPIPS, writes PNGs + evaluation_metrics.pkl, prints split means.
+
+`python eval.py output_path config_path dataset_path split
+    [--uv_mesh_path UV.obj] [--background white]`
+"""
+import argparse
+
+from intrinsic_neural_fields_tpu.evaluation.eval_cli import evaluate_views
+from intrinsic_neural_fields_tpu.train.config import load_config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("output_path", type=str)
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("dataset_path", type=str)
+    parser.add_argument("split", type=str)
+    parser.add_argument("--uv_mesh_path", type=str, default=None)
+    parser.add_argument("--background", nargs="?", type=str, default="white")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    if args.uv_mesh_path is not None:
+        from intrinsic_neural_fields_tpu.bake.bake import bake_texture
+
+        print("Baking texture into UV-map...")
+        bake_texture(args.output_path, args.uv_mesh_path, args.config_path)
+        print("Done.")
+
+    config = load_config(args.config_path)
+    evaluate_views(args.output_path, config, args.dataset_path, args.split,
+                   background=args.background)
+
+
+if __name__ == "__main__":
+    main()

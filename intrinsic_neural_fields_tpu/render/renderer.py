@@ -1,0 +1,208 @@
+"""Full-view rendering, fully on-device.
+
+The reference renders by tracing rays with Embree on the host, then running
+model inference in 2^15-ray chunks with a host->device->host copy per chunk
+(reference renderer.py:112-119). Here the whole pipeline — ray generation,
+tiled intersection, feature interpolation, MLP inference — is ONE jitted
+device computation over fixed-shape padded ray arrays; the host only selects
+masked pixels up front and scatters the returned colors into the image.
+
+Shapes: the number of masked pixels L is data-dependent, so rays are padded
+to the next multiple of a bucket size; jit caches one executable per bucket.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry.cameras import DistortionTypes, undistort_pixels_meshroom_radial_k3
+from ..geometry.mesh import load_mesh
+from ..ops.intersect import intersect_rays
+from ..ops.interpolate import interpolate_vertex_features
+from ..ops.ray_gen import pixel_grid_coords, ray_origins_and_directions
+
+_PAD_BUCKET = 1 << 15      # rays are padded to a multiple of this
+_INFER_CHUNK = 1 << 13     # model/feature-gather chunk inside the jit
+
+
+def make_renderer_with_trained_model(config, weights_name="model.ckpt"):
+    """Rebuild a Renderer from a training out_dir (reference renderer.py:9-32)."""
+    from ..models.factory import init_model, make_model
+    from ..spectral.features import load_first_k_eigenfunctions
+    from ..utils.checkpoint import load_checkpoint
+
+    mesh = load_mesh(config["data"]["mesh_path"])
+    feature_strategy = config["model"].get("feature_strategy", "efuncs")
+
+    efuncs = None
+    if feature_strategy == "efuncs":
+        efuncs = load_first_k_eigenfunctions(
+            config["data"]["eigenfunctions_path"],
+            config["model"].get("k"),
+            rescale_strategy=config["data"].get("rescale_strategy", "standard"),
+            embed_strategy=config["data"].get("embed_strategy"),
+            eigenvalues_path=config["data"].get("eigenvalues_path"),
+        )
+
+    model = make_model(config["model"], mesh=mesh)
+    template = init_model(model, config["model"], mesh=mesh)
+    weights_path = os.path.join(config["training"]["out_dir"], weights_name)
+    variables = load_checkpoint(weights_path, jax.device_get(template))
+
+    return Renderer(
+        model,
+        variables,
+        mesh,
+        eigenfunctions=efuncs,
+        feature_strategy=feature_strategy,
+        H=config["data"]["img_height"],
+        W=config["data"]["img_width"],
+    )
+
+
+class Renderer:
+    """Renders views of a trained texture field (reference renderer.py:35-146)."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        mesh,
+        eigenfunctions=None,
+        feature_strategy="efuncs",
+        background="white",
+        *,
+        H,
+        W,
+    ):
+        self.model = model
+        self.variables = variables
+        self.mesh = mesh
+        self.feature_strategy = feature_strategy
+        if feature_strategy == "efuncs":
+            assert eigenfunctions is not None
+            self.features = jnp.asarray(eigenfunctions, jnp.float32)
+        elif feature_strategy in ("ff", "rff", "xyz"):
+            self.features = jnp.asarray(mesh.vertices, jnp.float32)
+        else:
+            raise ValueError(f"Unknown feature strategy: {feature_strategy}")
+        self.H = H
+        self.W = W
+        self.background = background
+        self._refresh_geometry()
+
+    def _refresh_geometry(self):
+        self._verts = jnp.asarray(self.mesh.vertices, jnp.float32)
+        self._faces = jnp.asarray(self.mesh.faces)
+        self._pipeline = jax.jit(self._pipeline_impl)
+
+    def set_height(self, height):
+        self.H = height
+
+    def set_width(self, width):
+        self.W = width
+
+    def apply_mesh_transform(self, transform):
+        self.mesh.apply_transform(transform)
+        if self.feature_strategy in ("ff", "rff", "xyz"):
+            self.features = jnp.asarray(self.mesh.vertices, jnp.float32)
+        self._refresh_geometry()
+
+    def update_variables(self, variables):
+        """Point the renderer at new weights (no recompile: same structure)."""
+        self.variables = variables
+
+    def set_eigenfunctions(self, eigenfunctions):
+        """Swap the eigenbasis (texture transfer / discretization change)."""
+        assert self.feature_strategy == "efuncs"
+        self.features = jnp.asarray(eigenfunctions, jnp.float32)
+
+    def _pipeline_impl(self, variables, features, origins, dirs):
+        """[Lpad,3] rays -> ([Lpad,3] rgb, [Lpad] valid). Runs as one jit."""
+        hits = intersect_rays(self._verts, self._faces, origins, dirs)
+        safe_face = jnp.where(hits.valid, hits.face_idx, 0)
+        vids = jnp.take(self._faces, safe_face, axis=0)
+
+        Lpad = origins.shape[0]
+        n_chunks = Lpad // _INFER_CHUNK if Lpad % _INFER_CHUNK == 0 else -(-Lpad // _INFER_CHUNK)
+        pad = n_chunks * _INFER_CHUNK - Lpad
+
+        def pad0(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        chunked = jax.tree_util.tree_map(
+            lambda x: pad0(x).reshape(n_chunks, _INFER_CHUNK, *x.shape[1:]),
+            (vids, hits.bary, dirs, safe_face),
+        )
+
+        def infer(args):
+            c_vids, c_bary, c_dirs, c_face = args
+            feats = interpolate_vertex_features(features, c_vids, c_bary)
+            batch = {"unit_ray_dirs": c_dirs, "hit_face_idxs": c_face}
+            if self.feature_strategy == "efuncs":
+                batch["eigenfunctions"] = feats
+            else:
+                batch["xyz"] = feats
+            return self.model.apply(variables, batch)
+
+        preds = lax.map(infer, chunked).reshape(-1, 3)[:Lpad]
+        return preds, hits.valid
+
+    def render(
+        self,
+        camCv2world,
+        K,
+        obj_mask_1d=None,
+        eval_render=False,
+        distortion_coeffs=None,
+        distortion_type=None,
+    ):
+        """Render one view. Returns an [H,W,3] float32 numpy image, or
+        (image, hit_ray_idxs) when eval_render=True (reference renderer.py:64-146).
+        hit_ray_idxs indexes the masked-pixel array (all pixels if no mask)."""
+        H, W = self.H, self.W
+        if obj_mask_1d is not None:
+            obj_mask_1d = np.asarray(obj_mask_1d).reshape(-1)
+            assert obj_mask_1d.shape[0] == H * W
+            coords = pixel_grid_coords(H, W)[obj_mask_1d]
+        else:
+            coords = pixel_grid_coords(H, W)
+        L = coords.shape[0]
+        assert L > 0
+
+        if distortion_type is not None:
+            assert distortion_coeffs is not None
+            if distortion_type == DistortionTypes.MESHROOM_RADIAL_K3:
+                coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
+            else:
+                raise ValueError(f"Unknown distortion type: {distortion_type}")
+
+        Lpad = -(-L // _PAD_BUCKET) * _PAD_BUCKET
+        coords_pad = np.zeros((Lpad, 2), dtype=np.float32)
+        coords_pad[:L] = coords
+
+        origins, dirs = ray_origins_and_directions(camCv2world, K, coords_pad)
+        preds, valid = self._pipeline(self.variables, self.features, origins, dirs)
+        preds = np.asarray(preds[:L])
+        valid = np.asarray(valid[:L])
+
+        bg = 1.0 if self.background == "white" else 0.0
+        assert self.background in ("white", "black")
+        img_masked = np.full((L, 3), bg, dtype=np.float32)
+        img_masked[valid] = preds[valid]
+
+        if obj_mask_1d is not None:
+            img = np.full((H * W, 3), bg, dtype=np.float32)
+            img[obj_mask_1d] = img_masked
+        else:
+            img = img_masked
+
+        img = img.reshape(H, W, 3)
+        if eval_render:
+            return img, np.nonzero(valid)[0]
+        return img

@@ -1,0 +1,275 @@
+"""Training orchestration (reference trainer.py:18-337).
+
+The host-side loop is thin: one jitted `train_epoch` call + one jitted
+`val_epoch` call per epoch (see steps.py), TensorBoard scalars, periodic
+full-view renders, best/interval/final checkpoints, and resume. Scalar tags
+and print formats mirror the reference so existing tooling reads the logs.
+
+Deviations (deliberate, per SURVEY section 2.4):
+  - min_val_loss starts at +inf, not 1.0, so the best snapshot exists even if
+    the first epochs have loss > 1 (reference trainer.py:237).
+  - RNG state in checkpoints is the single JAX PRNG key that drives batch
+    shuffling — restoring it reproduces the exact batch order on resume.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data.datasets import MeshroomRadialK3Dataset
+from ..evaluation.metrics import epoch_psnr, psnr
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.io import imread, load_cameras, load_obj_mask_as_numpy
+from .plateau import ReduceLROnPlateau
+from .steps import TrainState, create_train_state, make_epoch_fns, make_variables
+
+
+class Trainer:
+    def __init__(self, model, variables, optimizer, loss_type, renderer, data, mesh, config):
+        self.model = model
+        self.optimizer = optimizer
+        self.loss_type = loss_type
+        self.renderer = renderer
+        self.mesh = mesh
+        self.config = config
+
+        self.state = create_train_state(variables, optimizer)
+        self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(model, optimizer, loss_type)
+
+        self.use_lr_scheduler = config["training"].get("use_lr_scheduler", False)
+        self.lr_scheduler = ReduceLROnPlateau(factor=0.2)
+
+        self.dataset_type = config["data"].get("type")
+        self.H = config["data"]["img_height"]
+        self.W = config["data"]["img_width"]
+
+        self.train_data = data["train"]
+        self.val_data = data["val"]
+        self.test_data = data.get("test")
+        if self.dataset_type is None:
+            self.val_render_infos = list(
+                zip(
+                    config["data"].get("eval_render_input_paths", []),
+                    config["data"].get("eval_render_img_names", []),
+                )
+            )
+
+        self.out_dir = config["training"]["out_dir"]
+        log_dir = os.path.join(self.out_dir, "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir)
+
+        self.batch_size = config["training"]["batch_size"]
+        self.drop_last = config["data"].get("train_drop_last", True)
+        self.render_every = config["training"]["render_every"]
+        self.print_every = config["training"]["print_every"]
+        self.epochs = config["training"]["epochs"]
+        self.checkpoint_every = config["training"].get("checkpoint_every")
+        self.checkpoint_path = os.path.join(self.out_dir, "checkpoint.ckpt")
+
+        self.best_model_weights_path = os.path.join(self.out_dir, "model.ckpt")
+        self.model_last_epoch_path = os.path.join(self.out_dir, "model_last_epoch.ckpt")
+        self.best_variables = jax.device_get(make_variables(self.state))
+
+        seed = config.get("seed", 0)
+        self.base_key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------ utils
+
+    def _checkpoint_payload(self, epoch):
+        return {
+            "epoch": np.int64(epoch),
+            "params": self.state.params,
+            "buffers": self.state.buffers,
+            "opt_state": self.state.opt_state,
+            "rng_key": self.base_key,
+        }
+
+    def _save_checkpoint(self, path, epoch):
+        save_checkpoint(path, self._checkpoint_payload(epoch))
+
+    def _init_or_load_checkpoint(self):
+        """Resume from out_dir/checkpoint.ckpt when present (reference
+        trainer.py:214-230). Returns the epoch to start from."""
+        if self.checkpoint_every is None or not os.path.exists(self.checkpoint_path):
+            return 0
+        print("Restoring from checkpoint...")
+        template = jax.device_get(self._checkpoint_payload(0))
+        ckpt = load_checkpoint(self.checkpoint_path, template)
+        self.state = TrainState(
+            params=ckpt["params"],
+            buffers=ckpt["buffers"],
+            opt_state=ckpt["opt_state"],
+        )
+        self.base_key = jax.numpy.asarray(ckpt["rng_key"])
+        print("Done.")
+        return int(ckpt["epoch"]) + 1
+
+    def _current_lr(self):
+        try:
+            return float(self.state.opt_state.hyperparams["learning_rate"])
+        except (AttributeError, KeyError, TypeError):
+            return float("nan")
+
+    def _set_lr(self, lr):
+        self.state.opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(
+            lr, dtype=jax.numpy.float32
+        )
+
+    # ----------------------------------------------------------------- phases
+
+    def evaluate(self, epoch=None):
+        metrics = jax.device_get(
+            self.val_epoch_fn(self.state, self.val_data, self.batch_size)
+        )
+        val_loss = float(metrics["loss"])
+        val_psnr = float(epoch_psnr(metrics["sq_err_per_sample"]))
+        self.writer.add_scalar("Val_Loss", val_loss, epoch)
+        self.writer.add_scalar("Val Epoch-PSNR", val_psnr, epoch)
+        return val_loss, val_psnr
+
+    def test(self):
+        """Evaluate the best model on the test split (functional here, unlike
+        the reference where the test loader was never built; trainer.py:189-191)."""
+        if self.test_data is None:
+            return None
+        best_state = TrainState(
+            params=self.best_variables["params"],
+            buffers=self.best_variables.get("buffers", {}),
+            opt_state=self.state.opt_state,
+        )
+        metrics = jax.device_get(self.val_epoch_fn(best_state, self.test_data, self.batch_size))
+        test_loss = float(metrics["loss"])
+        self.writer.add_scalar("Test Loss", test_loss)
+        print(f"Test Loss: {test_loss}")
+        return test_loss
+
+    def write_vis_metrics_to_tensorboard(self, img_name, rendered_img, gt_img, obj_mask_1d, epoch):
+        self.writer.add_image(img_name, rendered_img.transpose(2, 0, 1), global_step=epoch)
+        self.writer.add_scalar(f"{img_name}_psnr", psnr(rendered_img, gt_img, obj_mask_1d), epoch)
+
+        mean_distance_2d = 1.0 - np.mean(np.abs(rendered_img - gt_img), -1)
+        mean_distance_2d = np.repeat(mean_distance_2d[None, ...], 3, axis=0)
+        self.writer.add_image(f"{img_name}_2d_mean_distance", mean_distance_2d, global_step=epoch)
+
+        fake = rendered_img.reshape(-1, 3)[obj_mask_1d]
+        real = gt_img.reshape(-1, 3)[obj_mask_1d]
+        self.writer.add_scalar(f"{img_name}_dist", np.abs(real - fake).sum(), epoch)
+
+    def _render_view_for_tensorboard(self, input_path, img_name, epoch):
+        obj_mask_1d = load_obj_mask_as_numpy(input_path).reshape(-1)
+        camCv2world, K = load_cameras(input_path)
+        rendered_img = self.renderer.render(camCv2world, K, obj_mask_1d=obj_mask_1d)
+
+        gt_img = imread(os.path.join(input_path, "image", "000.png")).astype(np.float32) / 255.0
+        shape = gt_img.shape
+        gt_img = gt_img.reshape(-1, 3)
+        gt_img[~obj_mask_1d] = 1.0
+        gt_img = gt_img.reshape(shape)
+
+        self.write_vis_metrics_to_tensorboard(img_name, rendered_img, gt_img, obj_mask_1d, epoch)
+
+    def _render_views_for_tensorboard_meshroom(self, epoch):
+        vis = MeshroomRadialK3Dataset(
+            self.config["data"]["vis_dataset_path"],
+            self.config["data"]["vis_split"],
+            H=self.H,
+            W=self.W,
+        )
+        for idx, item in enumerate(vis):
+            rendered = self.renderer.render(
+                item["camCv2world"],
+                item["K"],
+                distortion_coeffs=item["distortion_params"],
+                distortion_type=item["distortion_type"],
+            )
+            self.write_vis_metrics_to_tensorboard(
+                f"meshroom_radial_k3_view_{idx}", rendered, item["img"], item["obj_mask_1d"], epoch
+            )
+
+    def _visualize(self, epoch):
+        self.renderer.update_variables(make_variables(self.state))
+        print("Visualizing...")
+        vis_start = time.time()
+        if self.dataset_type is None:
+            for i, (input_path, _img_name) in enumerate(self.val_render_infos):
+                self._render_view_for_tensorboard(input_path, f"img{i:03d}", epoch)
+        elif self.dataset_type == "meshroom_radial_k3":
+            self._render_views_for_tensorboard_meshroom(epoch)
+        else:
+            raise NotImplementedError(f"Unknown dataset type: {self.dataset_type}!")
+        print(f"Done with visualizations after {time.time() - vis_start} seconds.")
+
+    # ------------------------------------------------------------------ train
+
+    def train(self):
+        print("Starting training...")
+        epoch_start_idx = self._init_or_load_checkpoint()
+
+        num_batches = (
+            self.train_data.n // self.batch_size
+            if self.drop_last
+            else -(-self.train_data.n // self.batch_size)
+        )
+        assert num_batches > 0, "training set smaller than one batch"
+
+        min_val_loss = float("inf")
+
+        for epoch in range(epoch_start_idx, self.epochs):
+            key = jax.random.fold_in(self.base_key, epoch)
+
+            t0 = time.time()
+            self.state, metrics = self.train_epoch_fn(
+                self.state, key, self.train_data, num_batches, self.batch_size
+            )
+            metrics = jax.device_get(metrics)
+            t1 = time.time()
+
+            train_loss = float(metrics["loss"])
+            train_psnr = float(epoch_psnr(metrics["sq_err_per_sample"]))
+            self.writer.add_scalar("Train_Loss", train_loss, epoch)
+            self.writer.add_scalar("Train Epoch-PSNR", train_psnr, epoch)
+
+            val_loss, val_psnr = self.evaluate(epoch)
+
+            if val_loss < min_val_loss:
+                min_val_loss = val_loss
+                self.best_variables = jax.device_get(make_variables(self.state))
+                save_checkpoint(self.best_model_weights_path, self.best_variables)
+
+            if self.use_lr_scheduler:
+                self._set_lr(self.lr_scheduler.step(val_loss, self._current_lr()))
+
+            if epoch == 0 or (epoch + 1) % self.print_every == 0:
+                print(
+                    f"Epoch: {epoch + 1} / {self.epochs}, Train Loss: {train_loss}, "
+                    f"Train PSNR: {train_psnr}, Val Loss: {val_loss}, Val PSNR: {val_psnr} "
+                    f"Epoch Time: {t1 - t0}s"
+                )
+
+            if epoch == 0 or (epoch + 1) % self.render_every == 0:
+                self._visualize(epoch)
+
+            if self.checkpoint_every is not None and epoch % self.checkpoint_every == 0:
+                print("Saving checkpoint...")
+                self._save_checkpoint(self.checkpoint_path, epoch)
+                print("Done.")
+
+            if epoch > 0 and (epoch + 1) == 200:
+                # Persistent snapshot at epoch 200 (reference trainer.py:315-331).
+                print(f"Persisting checkpoint at {epoch}...")
+                self._save_checkpoint(os.path.join(self.out_dir, f"checkpoint_{epoch}.ckpt"), epoch)
+                save_checkpoint(
+                    os.path.join(self.out_dir, f"best_model_checkpoint_{epoch}.ckpt"),
+                    self.best_variables,
+                )
+                print("Done.")
+
+        self.test()
+        print("Done.")
+        save_checkpoint(self.model_last_epoch_path, jax.device_get(make_variables(self.state)))

@@ -1,0 +1,32 @@
+"""Checkpointing via flax msgpack serialization.
+
+The reference checkpoints {epoch, model, optimizer, RNG states} every
+`checkpoint_every` epochs plus best/last snapshots (reference
+trainer.py:270-337). Here the checkpoint payload is a pytree
+{epoch, variables, opt_state, rng_key}; the PRNG key replaces torch/python/
+numpy RNG states — it is the only randomness in the jitted training loop, so
+restoring it reproduces the exact batch order.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path, pytree):
+    data = serialization.to_bytes(jax.device_get(pytree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, template):
+    """Restore a pytree saved by save_checkpoint. `template` must have the
+    same structure (e.g. a freshly initialized state)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)

@@ -1,0 +1,111 @@
+"""Multi-device data-parallel tests over the 8-virtual-CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from intrinsic_neural_fields_tpu.data.sampler import RayData
+from intrinsic_neural_fields_tpu.models import init_model, make_model
+from intrinsic_neural_fields_tpu.parallel import make_device_mesh, make_dp_epoch_fns
+from intrinsic_neural_fields_tpu.train.steps import create_train_state, make_epoch_fns
+
+
+def _synthetic_raydata(n=4096, v=500, k=16, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(v, k)).astype(np.float32)
+    vids = rng.integers(0, v, size=(n, 3)).astype(np.int32)
+    bary = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    # ground truth is a fixed linear map of interpolated features -> learnable
+    W = rng.normal(size=(k, 3)).astype(np.float32) * 0.3
+    interp = np.einsum("bj,bjk->bk", bary, feats[vids])
+    rgbs = 1.0 / (1.0 + np.exp(-(interp @ W)))
+    return RayData(
+        features=jnp.asarray(feats),
+        feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(vids),
+        barycentric_coords=jnp.asarray(bary),
+        expected_rgbs=jnp.asarray(rgbs.astype(np.float32)),
+        unit_ray_dirs=None,
+        face_idxs=None,
+    )
+
+
+def _setup(k=16):
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 32, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    return model, variables, optimizer
+
+
+def test_dp_epoch_runs_and_learns():
+    assert jax.device_count() >= 8, "conftest must force 8 virtual devices"
+    data = _synthetic_raydata()
+    model, variables, optimizer = _setup()
+    mesh = make_device_mesh(8)
+    train_epoch, val_epoch = make_dp_epoch_fns(model, optimizer, "L1", mesh)
+
+    state = create_train_state(variables, optimizer)
+    key = jax.random.PRNGKey(0)
+    first_loss = None
+    for epoch in range(15):
+        state, metrics = train_epoch(state, jax.random.fold_in(key, epoch), data, 8, 512)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    last_loss = float(metrics["loss"])
+    assert last_loss < 0.5 * first_loss, (first_loss, last_loss)
+
+    val = jax.device_get(val_epoch(state, data, 512))
+    assert np.isfinite(val["loss"]) and val["loss"] < first_loss
+
+
+def test_dp_matches_single_device_statistics():
+    """Same model/optimizer trained DP vs single-device: batch composition
+    differs (sharded permutation), but losses must land in the same regime."""
+    data = _synthetic_raydata()
+    model, variables, optimizer = _setup()
+
+    mesh = make_device_mesh(8)
+    dp_train, dp_val = make_dp_epoch_fns(model, optimizer, "L1", mesh)
+    sd_train, sd_val = make_epoch_fns(model, optimizer, "L1")
+
+    key = jax.random.PRNGKey(7)
+    # deep-copy: the donated train-epoch buffers must not be shared
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    state_dp = create_train_state(copy(variables), optimizer)
+    state_sd = create_train_state(copy(variables), optimizer)
+    for epoch in range(10):
+        k = jax.random.fold_in(key, epoch)
+        state_dp, m_dp = dp_train(state_dp, k, data, 8, 512)
+        state_sd, m_sd = sd_train(state_sd, k, data, 8, 512)
+
+    v_dp = float(jax.device_get(dp_val(state_dp, data, 512))["loss"])
+    v_sd = float(jax.device_get(sd_val(state_sd, data, 512))["loss"])
+    assert abs(v_dp - v_sd) < 0.25 * max(v_dp, v_sd), (v_dp, v_sd)
+
+
+def test_dp_val_handles_ragged_tail():
+    data = _synthetic_raydata(n=4096 + 37)
+    model, variables, optimizer = _setup()
+    mesh = make_device_mesh(8)
+    _, dp_val = make_dp_epoch_fns(model, optimizer, "L1", mesh)
+    _, sd_val = make_epoch_fns(model, optimizer, "L1")
+    state = create_train_state(variables, optimizer)
+
+    v_dp = jax.device_get(dp_val(state, data, 512))
+    v_sd = jax.device_get(sd_val(state, data, 512))
+    np.testing.assert_allclose(v_dp["loss"], v_sd["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        v_dp["sq_err_per_sample"], v_sd["sq_err_per_sample"], rtol=1e-5
+    )
+
+
+def test_dp_batch_not_divisible_raises():
+    data = _synthetic_raydata(n=1024)
+    model, variables, optimizer = _setup()
+    mesh = make_device_mesh(8)
+    train_epoch, _ = make_dp_epoch_fns(model, optimizer, "L1", mesh)
+    state = create_train_state(variables, optimizer)
+    with pytest.raises(AssertionError):
+        train_epoch(state, jax.random.PRNGKey(0), data, 2, 100)

@@ -1,0 +1,180 @@
+"""End-to-end pipeline tests on a synthetic dataset: preprocess -> train ->
+render -> eval, plus checkpoint/resume determinism. All on the 8-virtual-CPU
+platform from conftest.py."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from tools.make_synthetic_dataset import make_dataset
+
+
+@pytest.fixture(scope="session")
+def synthetic_setup(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("synthetic"))
+    mesh_path, ds, splits = make_dataset(
+        os.path.join(tmp, "data"), H=48, W=48, n_train=4, n_val=1, n_test=1,
+        n_vis=1, subdivisions=3,
+    )
+    from intrinsic_neural_fields_tpu.spectral.eigensolver import EigenfuncsProcessor
+
+    proc = EigenfuncsProcessor(mesh_path, 24, "cotan")
+    ef_path = os.path.join(tmp, "efuncs.npy")
+    np.save(ef_path, proc.get_eigenfunctions())
+
+    from preprocess_dataset import preprocess_dataset
+
+    pp = os.path.join(tmp, "preproc")
+    for split in ("train", "val", "test"):
+        preprocess_dataset(split, ds, mesh_path, pp, None, False)
+
+    def config(out_name, **training_overrides):
+        training = {
+            "out_dir": os.path.join(tmp, out_name),
+            "batch_size": 512,
+            "lr": 1e-3,
+            "loss_type": "L1",
+            "render_every": 1000,
+            "print_every": 1000,
+            "epochs": 10,
+            "checkpoint_every": 4,
+        }
+        training.update(training_overrides)
+        return {
+            "seed": 0,
+            "data": {
+                "preproc_data_path_train": f"{pp}/train",
+                "preproc_data_path_eval": f"{pp}/val",
+                "preproc_data_path_test": f"{pp}/test",
+                "eigenfunctions_path": ef_path,
+                "mesh_path": mesh_path,
+                "img_height": 48,
+                "img_width": 48,
+                "eval_render_input_paths": [os.path.join(ds, splits["vis"][0])],
+                "eval_render_img_names": ["vis"],
+            },
+            "model": {"k": 24, "num_layers": 4, "mlp_hidden_dim": 64, "skip_layer_idx": 2},
+            "training": training,
+        }
+
+    return {"tmp": tmp, "mesh_path": mesh_path, "dataset": ds, "splits": splits,
+            "efuncs": ef_path, "preproc": pp, "config": config}
+
+
+def _build_trainer(config):
+    from intrinsic_neural_fields_tpu.geometry.mesh import load_mesh
+    from intrinsic_neural_fields_tpu.train import (
+        Trainer, get_data, get_model_and_optim, get_renderer,
+    )
+
+    mesh = load_mesh(config["data"]["mesh_path"])
+    data = get_data(config, mesh=mesh)
+    model, variables, optimizer = get_model_and_optim(config, mesh)
+    renderer = get_renderer(config, model, variables, mesh)
+    loss_type = config["training"]["loss_type"]
+    return Trainer(model, variables, optimizer, loss_type, renderer, data, mesh, config), data
+
+
+def test_preprocessed_contract(synthetic_setup):
+    from intrinsic_neural_fields_tpu.data import load_preprocessed_data
+
+    data = load_preprocessed_data(os.path.join(synthetic_setup["preproc"], "train"))
+    n = data["expected_rgbs"].shape[0]
+    assert n > 1000
+    assert data["vertex_idxs_of_hit_faces"].shape == (n, 3)
+    assert data["vertex_idxs_of_hit_faces"].dtype == np.int32
+    assert data["barycentric_coords"].shape == (n, 3)
+    bary = data["barycentric_coords"]
+    np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-5)
+    assert (bary >= 0).all()
+    assert data["unit_ray_dirs"].shape == (n, 3)
+    assert data["face_idxs"].shape == (n,)
+
+
+def test_training_learns_and_full_flow(synthetic_setup):
+    cfg = synthetic_setup["config"]("out_learn", epochs=25)
+    trainer, _ = _build_trainer(cfg)
+    trainer.train()
+
+    # train PSNR after 25 epochs must be far above the epoch-1 level (~10 dB)
+    from intrinsic_neural_fields_tpu.evaluation.metrics import epoch_psnr
+
+    m = jax.device_get(trainer.val_epoch_fn(trainer.state, trainer.train_data, 512))
+    final_train_psnr = epoch_psnr(m["sq_err_per_sample"])
+    assert final_train_psnr > 22.0, final_train_psnr
+
+    # best-model / last / interval checkpoints on disk
+    out = cfg["training"]["out_dir"]
+    assert os.path.exists(os.path.join(out, "model.ckpt"))
+    assert os.path.exists(os.path.join(out, "model_last_epoch.ckpt"))
+    assert os.path.exists(os.path.join(out, "checkpoint.ckpt"))
+
+    # eval CLI over the test split: hits the renderer + metrics stack
+    from intrinsic_neural_fields_tpu.evaluation.eval_cli import evaluate_views
+
+    means, per_view = evaluate_views(
+        os.path.join(synthetic_setup["tmp"], "eval_out"), cfg,
+        synthetic_setup["dataset"], "test",
+    )
+    assert means["psnr"] > 14.0
+    assert 0.0 <= means["dssim_rescaled"] <= 50.0
+    assert os.path.exists(
+        os.path.join(synthetic_setup["tmp"], "eval_out", "evaluation_metrics.pkl")
+    )
+
+
+def test_checkpoint_resume_is_deterministic(synthetic_setup):
+    # Run A: 6 epochs straight. Run B: 4 epochs (checkpoint at epoch 4),
+    # then resume for the last 2. Final params must match exactly.
+    cfg_a = synthetic_setup["config"]("out_resume_a", epochs=6, checkpoint_every=100)
+    trainer_a, _ = _build_trainer(cfg_a)
+    trainer_a.train()
+    params_a = jax.device_get(trainer_a.state.params)
+
+    cfg_b = synthetic_setup["config"]("out_resume_b", epochs=4, checkpoint_every=4)
+    trainer_b, _ = _build_trainer(cfg_b)
+    trainer_b.train()
+
+    cfg_b2 = synthetic_setup["config"]("out_resume_b", epochs=6, checkpoint_every=4)
+    trainer_b2, _ = _build_trainer(cfg_b2)
+    trainer_b2.train()
+    params_b = jax.device_get(trainer_b2.state.params)
+
+    flat_a = jax.tree_util.tree_leaves(params_a)
+    flat_b = jax.tree_util.tree_leaves(params_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_renderer_masks_and_background(synthetic_setup):
+    cfg = synthetic_setup["config"]("out_render", epochs=1)
+    trainer, _ = _build_trainer(cfg)
+    trainer.train()
+    from intrinsic_neural_fields_tpu.train.steps import make_variables
+    from intrinsic_neural_fields_tpu.utils.io import load_cameras, load_obj_mask_as_numpy
+
+    trainer.renderer.update_variables(make_variables(trainer.state))
+    view = os.path.join(synthetic_setup["dataset"], synthetic_setup["splits"]["val"][0])
+    cam, K = load_cameras(view)
+    mask = load_obj_mask_as_numpy(view).reshape(-1)
+
+    img = trainer.renderer.render(cam, K, obj_mask_1d=mask)
+    assert img.shape == (48, 48, 3)
+    # background pixels are white
+    np.testing.assert_allclose(img.reshape(-1, 3)[~mask], 1.0)
+
+    img_full, hit_idxs = trainer.renderer.render(cam, K, eval_render=True)
+    hit_mask = np.zeros(48 * 48, dtype=bool)
+    hit_mask[hit_idxs] = True
+    # ray-hit mask and dataset mask agree except on silhouette pixels
+    disagree = (hit_mask != mask).mean()
+    assert disagree < 0.02, disagree
+
+
+def test_loss_types_run(synthetic_setup):
+    for loss_type in ("L2", "cauchy"):
+        cfg = synthetic_setup["config"](f"out_loss_{loss_type}", epochs=2)
+        cfg["training"]["loss_type"] = loss_type
+        trainer, _ = _build_trainer(cfg)
+        trainer.train()
