@@ -99,7 +99,17 @@ def init_model(model, model_config, seed=0, mesh=None):
     """Initialize variables for a module built by make_model.
 
     Returns the full variables dict: {"params": ..., ["buffers": ...]}.
+    For self-loss models (NeuTex) initialization goes through loss_and_rgbs
+    so the mapping decoder's params (used only in the loss) exist too, and
+    the pretrained mapping weights are loaded when configured.
     """
     rngs = {"params": jax.random.PRNGKey(seed), "buffers": jax.random.PRNGKey(seed + 1)}
     batch = example_batch(model_config, mesh=mesh)
+    if getattr(model, "computes_loss", False):
+        variables = model.init(rngs, batch, method=model.loss_and_rgbs)
+        if model_config.get("pretrained_path"):
+            from .neutex import load_pretrained_mapping
+
+            variables = load_pretrained_mapping(variables, model_config["pretrained_path"])
+        return variables
     return model.init(rngs, batch)

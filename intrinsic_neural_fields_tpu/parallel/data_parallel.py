@@ -70,6 +70,11 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data"):
                 gt = batch["expected_rgbs"]
 
                 def loss_of(p):
+                    if getattr(model, "computes_loss", False):
+                        variables = {"params": p}
+                        if state.buffers:
+                            variables["buffers"] = state.buffers
+                        return model.apply(variables, batch, method=model.loss_and_rgbs)
                     pred = _forward(p, state.buffers, batch)
                     return jnp.mean(loss_elem(pred, gt)), pred
 

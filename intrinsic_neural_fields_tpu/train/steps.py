@@ -74,6 +74,13 @@ def make_epoch_fns(model, optimizer, loss_type):
             gt = batch["expected_rgbs"]
 
             def loss_of(p):
+                # Self-loss models (NeuTex) compute their own composite loss
+                # (reference trainer.py:71-76).
+                if getattr(model, "computes_loss", False):
+                    variables = {"params": p}
+                    if state.buffers:
+                        variables["buffers"] = state.buffers
+                    return model.apply(variables, batch, method=model.loss_and_rgbs)
                 pred = _forward(p, state.buffers, batch)
                 return jnp.mean(loss_elem(pred, gt)), pred
 

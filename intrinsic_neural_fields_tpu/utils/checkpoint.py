@@ -30,3 +30,33 @@ def load_checkpoint(path, template):
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(template, data)
+
+
+def save_npz_pytree(path, tree):
+    """Template-free checkpoint: nested dicts of arrays flattened to an npz
+    with '/'-joined keys. Used where the loader has no structure template
+    (e.g. pretrained NeuTex mapping weights)."""
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec("", jax.device_get(tree))
+    np.savez(path, **flat)
+
+
+def load_npz_pytree(path):
+    """Inverse of save_npz_pytree: npz -> nested dict of numpy arrays."""
+    flat = np.load(path)
+    out = {}
+    for key in flat.files:
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return out
