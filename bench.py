@@ -24,7 +24,7 @@ import numpy as np
 
 V = 30_000
 K = 1023
-N = 1 << 21
+N = 1 << 20  # sized so the precomputed [N,K] hit-feature matrix fits in HBM
 BATCH = 4096
 HIDDEN = 128
 LAYERS = 6
@@ -46,7 +46,7 @@ def bench_ours(feats, vids, bary, rgbs, epochs=3):
     import jax.numpy as jnp
     import optax
 
-    from intrinsic_neural_fields_tpu.data.sampler import RayData
+    from intrinsic_neural_fields_tpu.data.sampler import RayData, precompute_hit_features
     from intrinsic_neural_fields_tpu.models import init_model, make_model
     from intrinsic_neural_fields_tpu.train.steps import create_train_state, make_epoch_fns
 
@@ -55,16 +55,20 @@ def bench_ours(feats, vids, bary, rgbs, epochs=3):
     variables = init_model(model, cfg)
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
     state = create_train_state(variables, optimizer)
-    train_epoch, _ = make_epoch_fns(model, optimizer, "L1")
+    # Streaming pipeline: hit features precomputed once, per-epoch block
+    # shuffle, contiguous batch reads (see train/steps.py).
+    train_epoch, _ = make_epoch_fns(model, optimizer, "L1", shuffle="blocks")
 
-    data = RayData(
-        features=jnp.asarray(feats),
-        feature_strategy="efuncs",
-        vertex_idxs_of_hit_faces=jnp.asarray(vids),
-        barycentric_coords=jnp.asarray(bary),
-        expected_rgbs=jnp.asarray(rgbs),
-        unit_ray_dirs=None,
-        face_idxs=None,
+    data = precompute_hit_features(
+        RayData(
+            features=jnp.asarray(feats),
+            feature_strategy="efuncs",
+            vertex_idxs_of_hit_faces=jnp.asarray(vids),
+            barycentric_coords=jnp.asarray(bary),
+            expected_rgbs=jnp.asarray(rgbs),
+            unit_ray_dirs=None,
+            face_idxs=None,
+        )
     )
     num_batches = N // BATCH
     key = jax.random.PRNGKey(0)

@@ -37,6 +37,10 @@ class RayData:
     expected_rgbs: jnp.ndarray             # [N,3] f32
     unit_ray_dirs: Optional[jnp.ndarray]   # [N,3] f32 or None
     face_idxs: Optional[jnp.ndarray]       # [N] i32 or None
+    # Optional [N,k] features pre-interpolated at every hit (see
+    # precompute_hit_features): turns the per-step 3-row vertex gather into a
+    # single-row gather / contiguous stream. Bitwise-identical math.
+    hit_features: Optional[jnp.ndarray] = None
 
     @property
     def n(self):
@@ -50,13 +54,56 @@ class RayData:
             self.expected_rgbs,
             self.unit_ray_dirs,
             self.face_idxs,
+            self.hit_features,
         )
         return children, self.feature_strategy
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        features, vids, bary, rgbs, dirs, fidx = children
-        return cls(features, aux, vids, bary, rgbs, dirs, fidx)
+        features, vids, bary, rgbs, dirs, fidx, hit_features = children
+        return cls(features, aux, vids, bary, rgbs, dirs, fidx, hit_features)
+
+
+def precompute_hit_features(data: RayData, chunk=1 << 16):
+    """Interpolate the per-vertex features at every cached hit ONCE, on
+    device, in chunks. The training gather then reads one [k] row per sample
+    instead of three [k] vertex rows + an einsum — a 3x cut in the hot loop's
+    HBM gather traffic with bitwise-identical batch features.
+    """
+    import jax
+    from jax import lax
+
+    n, k = data.n, data.features.shape[1]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    vids = jnp.pad(data.vertex_idxs_of_hit_faces, ((0, pad), (0, 0)))
+    bary = jnp.pad(data.barycentric_coords, ((0, pad), (0, 0)))
+    vids = vids.reshape(n_chunks, chunk, 3)
+    bary = bary.reshape(n_chunks, chunk, 3)
+
+    @jax.jit
+    def run(features, vids, bary):
+        return lax.map(
+            lambda args: interpolate_vertex_features(features, *args), (vids, bary)
+        )
+
+    hit_features = run(data.features, vids, bary).reshape(-1, k)[:n]
+    return RayData(
+        features=data.features,
+        feature_strategy=data.feature_strategy,
+        vertex_idxs_of_hit_faces=data.vertex_idxs_of_hit_faces,
+        barycentric_coords=data.barycentric_coords,
+        expected_rgbs=data.expected_rgbs,
+        unit_ray_dirs=data.unit_ray_dirs,
+        face_idxs=data.face_idxs,
+        hit_features=hit_features,
+    )
+
+
+# Precompute hit features only while the [N,k] matrix stays under this budget
+# (f32 bytes); above it the per-step vertex gather is used instead.
+PRECOMPUTE_BYTES_LIMIT = 6 << 30
 
 
 def create_ray_data(
@@ -68,6 +115,9 @@ def create_ray_data(
     rescale_strategy="standard",
     embed_strategy=None,
     eigenvalues_path=None,
+    precompute="auto",
+    shuffle_once=True,
+    seed=0,
 ):
     """Build a device-resident RayData (reference ray_dataloader.py:7-54).
 
@@ -93,7 +143,7 @@ def create_ray_data(
     data = load_preprocessed_data(preproc_data_path)
     unit_ray_dirs = data.get("unit_ray_dirs")
     face_idxs = data.get("face_idxs")
-    return RayData(
+    ray_data = RayData(
         features=jnp.asarray(features),
         feature_strategy=feature_strategy,
         vertex_idxs_of_hit_faces=jnp.asarray(data["vertex_idxs_of_hit_faces"]),
@@ -103,28 +153,79 @@ def create_ray_data(
         face_idxs=None if face_idxs is None else jnp.asarray(face_idxs),
     )
 
+    if shuffle_once and ray_data.n > 1:
+        # One global permutation at load time decorrelates the view-raster
+        # write order, so contiguous blocks are uniform samples — the
+        # precondition for the streaming "blocks" shuffle (train/steps.py).
+        perm = jax.random.permutation(jax.random.PRNGKey(seed), ray_data.n)
+        take = lambda a: None if a is None else jnp.take(a, perm, axis=0)
+        ray_data = RayData(
+            features=ray_data.features,
+            feature_strategy=ray_data.feature_strategy,
+            vertex_idxs_of_hit_faces=take(ray_data.vertex_idxs_of_hit_faces),
+            barycentric_coords=take(ray_data.barycentric_coords),
+            expected_rgbs=take(ray_data.expected_rgbs),
+            unit_ray_dirs=take(ray_data.unit_ray_dirs),
+            face_idxs=take(ray_data.face_idxs),
+        )
+
+    n, kdim = ray_data.n, ray_data.features.shape[1]
+    if precompute is True or (
+        precompute == "auto" and n * kdim * 4 <= PRECOMPUTE_BYTES_LIMIT
+    ):
+        ray_data = precompute_hit_features(ray_data)
+    return ray_data
+
 
 def num_train_batches(n, batch_size, drop_last=True):
     return n // batch_size if drop_last else -(-n // batch_size)
 
 
+def _feature_key(data: RayData):
+    # ff / rff / xyz all consume the interpolated hit position
+    return "eigenfunctions" if data.feature_strategy == "efuncs" else "xyz"
+
+
 def gather_batch(data: RayData, idx):
     """Assemble the model batch dict for indices idx (traced, inside jit).
 
-    Mirrors RayDataLoader.__next__ (reference ray_dataloader.py:115-145):
-    gathers hit records, interpolates per-vertex features barycentrically.
+    Mirrors RayDataLoader.__next__ (reference ray_dataloader.py:115-145).
+    With precomputed hit features this is a single-row gather; otherwise it
+    gathers the three face-vertex rows and interpolates barycentrically.
     """
-    vids = jnp.take(data.vertex_idxs_of_hit_faces, idx, axis=0)
-    bary = jnp.take(data.barycentric_coords, idx, axis=0)
     batch = {"expected_rgbs": jnp.take(data.expected_rgbs, idx, axis=0)}
 
-    interp = interpolate_vertex_features(data.features, vids, bary)
-    if data.feature_strategy == "efuncs":
-        batch["eigenfunctions"] = interp
-    else:  # ff / rff / xyz all consume the interpolated hit position
-        batch["xyz"] = interp
+    if data.hit_features is not None:
+        batch[_feature_key(data)] = jnp.take(data.hit_features, idx, axis=0)
+    else:
+        vids = jnp.take(data.vertex_idxs_of_hit_faces, idx, axis=0)
+        bary = jnp.take(data.barycentric_coords, idx, axis=0)
+        batch[_feature_key(data)] = interpolate_vertex_features(
+            data.features, vids, bary
+        )
 
     if data.unit_ray_dirs is not None:
         batch["unit_ray_dirs"] = jnp.take(data.unit_ray_dirs, idx, axis=0)
         batch["hit_face_idxs"] = jnp.take(data.face_idxs, idx, axis=0)
+    return batch
+
+
+def slice_batch(data: RayData, start, batch_size):
+    """Contiguous batch slice starting at traced offset `start` — the
+    streaming fast path for block-shuffled epochs (full-bandwidth reads, no
+    gather). Requires precomputed hit features."""
+    assert data.hit_features is not None
+
+    def take(arr):
+        return jax.lax.dynamic_slice(
+            arr, (start,) + (0,) * (arr.ndim - 1), (batch_size,) + arr.shape[1:]
+        )
+
+    batch = {
+        "expected_rgbs": take(data.expected_rgbs),
+        _feature_key(data): take(data.hit_features),
+    }
+    if data.unit_ray_dirs is not None:
+        batch["unit_ray_dirs"] = take(data.unit_ray_dirs)
+        batch["hit_face_idxs"] = take(data.face_idxs)
     return batch

@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..data.sampler import RayData, gather_batch
+from ..data.sampler import RayData, gather_batch, slice_batch
 from ..train.losses import elementwise_loss
 from ..train.steps import TrainState
 
@@ -43,9 +43,11 @@ def make_device_mesh(n_devices=None, axis_name="data"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data"):
+def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuffle="full"):
     """(train_epoch, val_epoch) with the same signatures as train.steps'
-    single-device versions, but sharded over `mesh`."""
+    single-device versions, but sharded over `mesh`. shuffle="blocks" streams
+    contiguous per-device slices of each global block (see train/steps.py)."""
+    assert shuffle in ("full", "blocks")
     D = int(np.prod(mesh.devices.shape))
     loss_elem = elementwise_loss(loss_type)
 
@@ -59,14 +61,25 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data"):
     def train_epoch(state: TrainState, key, data: RayData, num_batches: int, batch_size: int):
         assert batch_size % D == 0, f"batch_size {batch_size} not divisible by {D} devices"
         local_b = batch_size // D
+        use_blocks = shuffle == "blocks" and data.hit_features is not None
         n_used = num_batches * batch_size
-        perm = jax.random.permutation(key, data.n)[:n_used]
+        if use_blocks:
+            block_order = jax.random.permutation(key, num_batches)
+            perm = jnp.tile(block_order, D)  # dummy shardable carrier
+        else:
+            perm = jax.random.permutation(key, data.n)[:n_used]
 
-        def shard_fn(state, perm_local, data):
+        def shard_fn(state, perm_local, data, dev_ids):
+            dev = dev_ids[0]
+
             def step(carry, i):
                 params, opt_state, acc_loss, acc_sq = carry
-                idx = lax.dynamic_slice(perm_local, (i * local_b,), (local_b,))
-                batch = gather_batch(data, idx)
+                if use_blocks:
+                    start = perm_local[i] * batch_size + dev * local_b
+                    batch = slice_batch(data, start, local_b)
+                else:
+                    idx = lax.dynamic_slice(perm_local, (i * local_b,), (local_b,))
+                    batch = gather_batch(data, idx)
                 gt = batch["expected_rgbs"]
 
                 def loss_of(p):
@@ -97,13 +110,14 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data"):
             metrics = {"loss": acc_loss / total, "sq_err_per_sample": acc_sq / total}
             return TrainState(params, state.buffers, opt_state), metrics
 
+        dev_ids = jnp.arange(D, dtype=jnp.int32)
         return shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(axis_name), P()),
+            in_specs=(P(), P(axis_name), P(), P(axis_name)),
             out_specs=(P(), P()),
             check_vma=False,
-        )(state, perm, data)
+        )(state, perm, data, dev_ids)
 
     @functools.partial(jax.jit, static_argnames=("batch_size",))
     def val_epoch(state: TrainState, data: RayData, batch_size: int):
@@ -154,7 +168,8 @@ def parallelize_trainer(trainer, n_devices):
     """Swap a Trainer's jitted epoch fns for mesh-sharded ones."""
     mesh = make_device_mesh(n_devices)
     trainer.train_epoch_fn, trainer.val_epoch_fn = make_dp_epoch_fns(
-        trainer.model, trainer.optimizer, trainer.loss_type, mesh
+        trainer.model, trainer.optimizer, trainer.loss_type, mesh,
+        shuffle=getattr(trainer, "shuffle", "full"),
     )
     print(f"Data-parallel training over {n_devices} devices: {mesh}")
     return trainer

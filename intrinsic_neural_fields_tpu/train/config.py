@@ -74,6 +74,8 @@ def _make_split_data(config, mesh, split_key):
         rescale_strategy=config["data"].get("rescale_strategy", "standard"),
         embed_strategy=config["data"].get("embed_strategy"),
         eigenvalues_path=config["data"].get("eigenvalues_path"),
+        precompute=config["data"].get("precompute_hit_features", "auto"),
+        seed=config.get("seed", 0),
     )
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from ..data.sampler import RayData, gather_batch
+from ..data.sampler import RayData, gather_batch, slice_batch
 from .losses import elementwise_loss
 
 
@@ -47,14 +47,24 @@ def create_train_state(variables, optimizer):
     return TrainState(params=params, buffers=buffers, opt_state=optimizer.init(params))
 
 
-def make_epoch_fns(model, optimizer, loss_type):
+def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
     """Build (train_epoch, val_epoch), both jitted.
 
     train_epoch(state, key, data, num_batches, batch_size)
         -> (state, {"loss": scalar, "sq_err_per_sample": scalar})
     val_epoch(state, data, batch_size)
         -> {"loss": scalar, "sq_err_per_sample": scalar}
+
+    shuffle:
+      "full"   — a fresh per-sample permutation each epoch (reference
+                 semantics, ray_dataloader.py:103-107); batches are gathers.
+      "blocks" — the dataset was globally shuffled once at load time
+                 (create_ray_data) and each epoch permutes only the ORDER of
+                 fixed batch-sized blocks; batches become contiguous
+                 dynamic slices that stream at full HBM bandwidth instead of
+                 row gathers. Requires precomputed hit features.
     """
+    assert shuffle in ("full", "blocks")
     loss_elem = elementwise_loss(loss_type)
 
     def _forward(params, buffers, batch):
@@ -65,12 +75,19 @@ def make_epoch_fns(model, optimizer, loss_type):
 
     @functools.partial(jax.jit, static_argnames=("num_batches", "batch_size"), donate_argnums=(0,))
     def train_epoch(state: TrainState, key, data: RayData, num_batches: int, batch_size: int):
-        perm = jax.random.permutation(key, data.n)
+        use_blocks = shuffle == "blocks" and data.hit_features is not None
+        if use_blocks:
+            block_order = jax.random.permutation(key, num_batches)
+        else:
+            perm = jax.random.permutation(key, data.n)
 
         def step(carry, i):
             params, opt_state, acc_loss, acc_sq = carry
-            idx = lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
-            batch = gather_batch(data, idx)
+            if use_blocks:
+                batch = slice_batch(data, block_order[i] * batch_size, batch_size)
+            else:
+                idx = lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+                batch = gather_batch(data, idx)
             gt = batch["expected_rgbs"]
 
             def loss_of(p):

@@ -37,7 +37,10 @@ class Trainer:
         self.config = config
 
         self.state = create_train_state(variables, optimizer)
-        self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(model, optimizer, loss_type)
+        self.shuffle = config["training"].get("shuffle", "full")
+        self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(
+            model, optimizer, loss_type, shuffle=self.shuffle
+        )
 
         self.use_lr_scheduler = config["training"].get("use_lr_scheduler", False)
         self.lr_scheduler = ReduceLROnPlateau(factor=0.2)
