@@ -56,12 +56,9 @@ def make_model(model_config, mesh=None):
         embed_std=model_config.get("embed_std", 1.0),
         embed_use_logspace=model_config.get("use_logspace", True),
         embed_max_freq=model_config.get("max_freq"),
+        batchnorm=model_config.get("batchnorm", False),
         activation=activation,
     )
-    if model_config.get("batchnorm", False):
-        raise NotImplementedError(
-            "batchnorm=True is not supported yet (no released reference config uses it)"
-        )
 
     if view_dependence_config is None:
         return TextureField(**common)

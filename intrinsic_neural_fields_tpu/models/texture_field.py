@@ -56,6 +56,7 @@ class TextureField(nn.Module):
     embed_max_freq: Optional[float] = None
     return_rgb: bool = True
     out_dim: int = RGB_COLOR_DIM
+    batchnorm: bool = False
     activation: Any = "relu"
 
     def setup(self):
@@ -80,18 +81,29 @@ class TextureField(nn.Module):
         return batch["eigenfunctions"]
 
     @nn.compact
-    def __call__(self, batch):
+    def __call__(self, batch, train=False):
         act = _activation(self.activation)
         features = self._embed_input(batch)
+
+        def maybe_bn(h):
+            if not self.batchnorm:
+                return h
+            # BatchNorm AFTER the activation, torch-default momentum
+            # (reference model.py:44-51, layers.py:56-62).
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(h)
 
         h = features
         for i in range(self.num_layers - 1):
             if i == self.skip_layer_idx:
                 # Input re-injection: act(Lx(h) + Ly(features))
                 # (reference layers.py:50-62).
-                h = act(_dense(self.hidden_dim)(h) + _dense(self.hidden_dim)(features))
+                h = maybe_bn(
+                    act(_dense(self.hidden_dim)(h) + _dense(self.hidden_dim)(features))
+                )
             else:
-                h = act(_dense(self.hidden_dim)(h))
+                h = maybe_bn(act(_dense(self.hidden_dim)(h)))
         out = _dense(self.out_dim)(h)
         return nn.sigmoid(out) if self.return_rgb else nn.relu(out)
 
@@ -125,6 +137,7 @@ class TextureFieldWithViewDependency(nn.Module):
     embed_max_freq: Optional[float] = None
     face_normals: Optional[np.ndarray] = None  # [F,3], required for "intrinsic"
     view_dir_strategy: str = "intrinsic"
+    batchnorm: bool = False
     activation: Any = "relu"
 
     def _embedded_view_dir(self, batch):
@@ -147,7 +160,7 @@ class TextureFieldWithViewDependency(nn.Module):
         raise RuntimeError("Unknown viewing direction strategy.")
 
     @nn.compact
-    def __call__(self, batch):
+    def __call__(self, batch, train=False):
         act = _activation(self.activation)
         spatial = TextureField(
             num_layers=self.num_layers,
@@ -161,10 +174,11 @@ class TextureFieldWithViewDependency(nn.Module):
             embed_max_freq=self.embed_max_freq,
             return_rgb=False,
             out_dim=self.bottleneck_vec_dim,
+            batchnorm=self.batchnorm,
             activation=self.activation,
             name="spatial_mlp",
         )
-        bottleneck = spatial(batch)
+        bottleneck = spatial(batch, train=train)
         view_dir = self._embedded_view_dir(batch)
         h = jnp.concatenate([bottleneck, view_dir], axis=-1)
         h = act(_dense(self.directional_hidden_dim)(h))

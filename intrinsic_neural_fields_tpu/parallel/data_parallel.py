@@ -48,6 +48,10 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuff
     single-device versions, but sharded over `mesh`. shuffle="blocks" streams
     contiguous per-device slices of each global block (see train/steps.py)."""
     assert shuffle in ("full", "blocks")
+    assert not getattr(model, "batchnorm", False), (
+        "BatchNorm is not supported in the data-parallel path (per-shard "
+        "statistics would need a psum sync); train single-device instead"
+    )
     D = int(np.prod(mesh.devices.shape))
     loss_elem = elementwise_loss(loss_type)
 
@@ -108,7 +112,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuff
             )
             total = num_batches * batch_size
             metrics = {"loss": acc_loss / total, "sq_err_per_sample": acc_sq / total}
-            return TrainState(params, state.buffers, opt_state), metrics
+            return TrainState(params, state.buffers, opt_state, state.batch_stats), metrics
 
         dev_ids = jnp.arange(D, dtype=jnp.int32)
         return shard_map(

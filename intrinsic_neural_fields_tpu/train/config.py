@@ -32,11 +32,22 @@ def _pretty_print_config(config, path):
     print("================================================================\n")
 
 
+def _normalize_k(config):
+    """Expand the compact eigenfunction-index spec `k: {ranges: [[a,b], ...]}`
+    (half-open ranges) into the explicit index list the rest of the stack
+    consumes. The reference spells these lists out (1023 literals in the
+    texture-reconstruction configs); both forms are accepted here."""
+    k = config.get("model", {}).get("k")
+    if isinstance(k, dict) and "ranges" in k:
+        config["model"]["k"] = [i for a, b in k["ranges"] for i in range(a, b)]
+    return config
+
+
 def load_config_file(path, allow_checkpoint_loading=False):
     """Load config, refuse to overwrite an existing out_dir unless resuming,
     and copy the config into out_dir for provenance (reference config.py:26-36)."""
     with open(path, "r") as f:
-        config = yaml.safe_load(f)
+        config = _normalize_k(yaml.safe_load(f))
 
     out_dir = config["training"]["out_dir"]
     if os.path.exists(out_dir) and not allow_checkpoint_loading:
@@ -52,7 +63,7 @@ def load_config_file(path, allow_checkpoint_loading=False):
 
 def load_config(path):
     with open(path, "r") as f:
-        return yaml.safe_load(f)
+        return _normalize_k(yaml.safe_load(f))
 
 
 def get_seed(config):

@@ -30,21 +30,28 @@ from .losses import elementwise_loss
 
 class TrainState(NamedTuple):
     params: dict
-    buffers: dict      # non-trainable variable collections (e.g. RFF "B")
+    buffers: dict      # non-trainable constants (e.g. RFF "B")
     opt_state: optax.OptState
+    batch_stats: dict = {}  # BatchNorm running stats (updated in-step)
 
 
 def make_variables(state: TrainState):
     v = {"params": state.params}
     if state.buffers:
         v["buffers"] = state.buffers
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
     return v
 
 
 def create_train_state(variables, optimizer):
     params = variables["params"]
-    buffers = variables.get("buffers", {})
-    return TrainState(params=params, buffers=buffers, opt_state=optimizer.init(params))
+    return TrainState(
+        params=params,
+        buffers=variables.get("buffers", {}),
+        opt_state=optimizer.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+    )
 
 
 def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
@@ -67,11 +74,23 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
     assert shuffle in ("full", "blocks")
     loss_elem = elementwise_loss(loss_type)
 
-    def _forward(params, buffers, batch):
+    def _variables(params, state):
+        v = {"params": params}
+        if state.buffers:
+            v["buffers"] = state.buffers
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def _forward(params, buffers, batch, batch_stats=None):
         variables = {"params": params}
         if buffers:
-            variables = {"params": params, "buffers": buffers}
+            variables["buffers"] = buffers
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         return model.apply(variables, batch)
+
+    uses_bn = bool(getattr(model, "batchnorm", False))
 
     @functools.partial(jax.jit, static_argnames=("num_batches", "batch_size"), donate_argnums=(0,))
     def train_epoch(state: TrainState, key, data: RayData, num_batches: int, batch_size: int):
@@ -82,7 +101,7 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
             perm = jax.random.permutation(key, data.n)
 
         def step(carry, i):
-            params, opt_state, acc_loss, acc_sq = carry
+            params, opt_state, batch_stats, acc_loss, acc_sq = carry
             if use_blocks:
                 batch = slice_batch(data, block_order[i] * batch_size, batch_size)
             else:
@@ -97,20 +116,34 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
                     variables = {"params": p}
                     if state.buffers:
                         variables["buffers"] = state.buffers
-                    return model.apply(variables, batch, method=model.loss_and_rgbs)
+                    loss, pred = model.apply(variables, batch, method=model.loss_and_rgbs)
+                    return loss, (pred, batch_stats)
+                if uses_bn:
+                    variables = {"params": p, "batch_stats": batch_stats}
+                    if state.buffers:
+                        variables["buffers"] = state.buffers
+                    pred, mutated = model.apply(
+                        variables, batch, train=True, mutable=["batch_stats"]
+                    )
+                    return jnp.mean(loss_elem(pred, gt)), (pred, mutated["batch_stats"])
                 pred = _forward(p, state.buffers, batch)
-                return jnp.mean(loss_elem(pred, gt)), pred
+                return jnp.mean(loss_elem(pred, gt)), (pred, batch_stats)
 
-            (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            (loss, (pred, batch_stats)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
 
             acc_loss = acc_loss + loss * batch_size
             acc_sq = acc_sq + jnp.sum((pred - gt) ** 2)
-            return (params, opt_state, acc_loss, acc_sq), None
+            return (params, opt_state, batch_stats, acc_loss, acc_sq), None
 
-        init = (state.params, state.opt_state, jnp.float32(0.0), jnp.float32(0.0))
-        (params, opt_state, acc_loss, acc_sq), _ = lax.scan(
+        init = (
+            state.params, state.opt_state, state.batch_stats,
+            jnp.float32(0.0), jnp.float32(0.0),
+        )
+        (params, opt_state, batch_stats, acc_loss, acc_sq), _ = lax.scan(
             step, init, jnp.arange(num_batches)
         )
         total = num_batches * batch_size
@@ -118,7 +151,7 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
             "loss": acc_loss / total,
             "sq_err_per_sample": acc_sq / total,
         }
-        return TrainState(params, state.buffers, opt_state), metrics
+        return TrainState(params, state.buffers, opt_state, batch_stats), metrics
 
     @functools.partial(jax.jit, static_argnames=("batch_size",))
     def val_epoch(state: TrainState, data: RayData, batch_size: int):
@@ -133,7 +166,7 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
             idx = jnp.minimum(idx, n - 1)
             batch = gather_batch(data, idx)
             gt = batch["expected_rgbs"]
-            pred = _forward(state.params, state.buffers, batch)
+            pred = _forward(state.params, state.buffers, batch, state.batch_stats)
             # per-sample loss = channel mean, so padded rows can be masked
             per_sample = jnp.mean(loss_elem(pred, gt), axis=-1)
             acc_loss = acc_loss + jnp.sum(per_sample * w)

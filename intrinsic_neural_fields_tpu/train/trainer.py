@@ -90,6 +90,7 @@ class Trainer:
             "params": self.state.params,
             "buffers": self.state.buffers,
             "opt_state": self.state.opt_state,
+            "batch_stats": self.state.batch_stats,
             "rng_key": self.base_key,
         }
 
@@ -108,6 +109,7 @@ class Trainer:
             params=ckpt["params"],
             buffers=ckpt["buffers"],
             opt_state=ckpt["opt_state"],
+            batch_stats=ckpt.get("batch_stats", {}),
         )
         self.base_key = jax.numpy.asarray(ckpt["rng_key"])
         print("Done.")
@@ -145,6 +147,7 @@ class Trainer:
             params=self.best_variables["params"],
             buffers=self.best_variables.get("buffers", {}),
             opt_state=self.state.opt_state,
+            batch_stats=self.best_variables.get("batch_stats", {}),
         )
         metrics = jax.device_get(self.val_epoch_fn(best_state, self.test_data, self.batch_size))
         test_loss = float(metrics["loss"])
@@ -223,8 +226,18 @@ class Trainer:
 
         min_val_loss = float("inf")
 
+        # Optional jax profiler capture of one post-warmup epoch
+        # (SURVEY.md section 5: the reference has no tracing; this framework
+        # exposes it via training.profile_dir).
+        profile_dir = self.config["training"].get("profile_dir")
+        profile_epoch = self.config["training"].get("profile_epoch", 1)
+
         for epoch in range(epoch_start_idx, self.epochs):
             key = jax.random.fold_in(self.base_key, epoch)
+
+            profiling = profile_dir is not None and epoch == profile_epoch
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
 
             t0 = time.time()
             self.state, metrics = self.train_epoch_fn(
@@ -232,6 +245,13 @@ class Trainer:
             )
             metrics = jax.device_get(metrics)
             t1 = time.time()
+
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f"Wrote profiler trace for epoch {epoch} to {profile_dir}")
+
+            rays_per_sec = num_batches * self.batch_size / max(t1 - t0, 1e-9)
+            self.writer.add_scalar("Train Rays-per-sec", rays_per_sec, epoch)
 
             train_loss = float(metrics["loss"])
             train_psnr = float(epoch_psnr(metrics["sq_err_per_sample"]))
@@ -252,7 +272,7 @@ class Trainer:
                 print(
                     f"Epoch: {epoch + 1} / {self.epochs}, Train Loss: {train_loss}, "
                     f"Train PSNR: {train_psnr}, Val Loss: {val_loss}, Val PSNR: {val_psnr} "
-                    f"Epoch Time: {t1 - t0}s"
+                    f"Epoch Time: {t1 - t0}s ({rays_per_sec / 1e6:.2f}M rays/s)"
                 )
 
             if epoch == 0 or (epoch + 1) % self.render_every == 0:

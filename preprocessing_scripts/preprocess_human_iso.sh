@@ -1,0 +1,8 @@
+#!/bin/bash
+set -e
+
+python preprocess_eigenfunctions.py data/preprocessed/human_isotropic data/discretizations/human/iso.ply 4096 --laplacian_type robust
+
+python preprocess_dataset.py data/preprocessed/human_isotropic data/discretizations/human/iso.ply data/human_dataset_v2_tiny train
+python preprocess_dataset.py data/preprocessed/human_isotropic data/discretizations/human/iso.ply data/human_dataset_v2_tiny val
+python preprocess_dataset.py data/preprocessed/human_isotropic data/discretizations/human/iso.ply data/human_dataset_v2_tiny test

@@ -146,3 +146,49 @@ def test_sine_activation():
 def test_unknown_activation_raises():
     with pytest.raises(NotImplementedError):
         make_model(_tiny_cfg(activation="tanh"))
+
+
+def test_batchnorm_training_updates_stats():
+    import optax
+
+    from intrinsic_neural_fields_tpu.data.sampler import RayData
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        make_epoch_fns,
+        make_variables,
+    )
+
+    cfg = _tiny_cfg(batchnorm=True)
+    model = make_model(cfg)
+    vs = init_model(model, cfg)
+    assert "batch_stats" in vs
+
+    rng = np.random.default_rng(0)
+    n, v = 2048, 100
+    feats = rng.normal(size=(v, 16)).astype(np.float32)
+    vids = rng.integers(0, v, size=(n, 3)).astype(np.int32)
+    bary = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    rgbs = rng.uniform(size=(n, 3)).astype(np.float32)
+    data = RayData(jnp.asarray(feats), "efuncs", jnp.asarray(vids),
+                   jnp.asarray(bary), jnp.asarray(rgbs), None, None)
+
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    state = create_train_state(vs, optimizer)
+    stats_before = jax.device_get(state.batch_stats)
+    train_epoch, val_epoch = make_epoch_fns(model, optimizer, "L1")
+    state, m = train_epoch(state, jax.random.PRNGKey(0), data, 4, 512)
+    stats_after = jax.device_get(state.batch_stats)
+
+    changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(stats_before), jax.tree_util.tree_leaves(stats_after)
+        )
+    )
+    assert changed, "batch_stats must update during training"
+
+    # eval path uses running averages without mutation
+    val = jax.device_get(val_epoch(state, data, 512))
+    assert np.isfinite(val["loss"])
+    out = model.apply(make_variables(state), {"eigenfunctions": jnp.ones((3, 16))})
+    assert np.isfinite(np.asarray(out)).all()
