@@ -23,6 +23,7 @@ from ..geometry.cameras import DistortionTypes, undistort_pixels_meshroom_radial
 from ..geometry.mesh import load_mesh
 from ..ops.intersect import intersect_rays
 from ..ops.interpolate import interpolate_vertex_features
+from ..ops.morton import face_morton_order, pixel_morton_order
 from ..ops.ray_gen import pixel_grid_coords, ray_origins_and_directions
 
 _PAD_BUCKET = 1 << 15      # rays are padded to a multiple of this
@@ -97,8 +98,14 @@ class Renderer:
 
     def _refresh_geometry(self):
         self._verts = jnp.asarray(self.mesh.vertices, jnp.float32)
-        self._faces = jnp.asarray(self.mesh.faces)
-        self._pipeline = jax.jit(self._pipeline_impl)
+        # Faces sorted spatially (Morton) so the tracer's tile culling bites;
+        # _face_orig_ids maps sorted hit ids back to original mesh face ids
+        # (needed for face-normal lookups in view-dependent models).
+        order = face_morton_order(self.mesh.vertices, self.mesh.faces)
+        self._faces_sorted = jnp.asarray(self.mesh.faces[order])
+        self._face_orig_ids = jnp.asarray(order.astype(np.int32))
+        self._pipeline_idx = jax.jit(self._pipeline_from_indices)
+        self._pipeline_coords = jax.jit(self._pipeline_from_coords)
 
     def set_height(self, height):
         self.H = height
@@ -121,11 +128,27 @@ class Renderer:
         assert self.feature_strategy == "efuncs"
         self.features = jnp.asarray(eigenfunctions, jnp.float32)
 
+    def _pipeline_from_indices(self, variables, features, pix_idx, camCv2world, K):
+        """Pixel indices -> rays on device (halves the host->device traffic
+        vs shipping float coords; ray gen is traced anyway)."""
+        x = (pix_idx % self.W).astype(jnp.float32)
+        y = (pix_idx // self.W).astype(jnp.float32)
+        coords = jnp.stack([x, y], axis=-1)
+        origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
+        return self._pipeline_impl(variables, features, origins, dirs)
+
+    def _pipeline_from_coords(self, variables, features, coords, camCv2world, K):
+        """Explicit (possibly undistorted) pixel coordinates."""
+        origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
+        return self._pipeline_impl(variables, features, origins, dirs)
+
     def _pipeline_impl(self, variables, features, origins, dirs):
-        """[Lpad,3] rays -> ([Lpad,3] rgb, [Lpad] valid). Runs as one jit."""
-        hits = intersect_rays(self._verts, self._faces, origins, dirs)
-        safe_face = jnp.where(hits.valid, hits.face_idx, 0)
-        vids = jnp.take(self._faces, safe_face, axis=0)
+        """[Lpad,3] rays -> ([Lpad,3] rgb f16, [Lpad] valid). Runs as one jit."""
+        hits = intersect_rays(self._verts, self._faces_sorted, origins, dirs)
+        safe_face_sorted = jnp.where(hits.valid, hits.face_idx, 0)
+        vids = jnp.take(self._faces_sorted, safe_face_sorted, axis=0)
+        # map back to original face ids for downstream normal lookups
+        safe_face = jnp.take(self._face_orig_ids, safe_face_sorted)
 
         Lpad = origins.shape[0]
         n_chunks = Lpad // _INFER_CHUNK if Lpad % _INFER_CHUNK == 0 else -(-Lpad // _INFER_CHUNK)
@@ -151,7 +174,9 @@ class Renderer:
             return self.model.apply(variables, batch)
 
         preds = lax.map(infer, chunked).reshape(-1, 3)[:Lpad]
-        return preds, hits.valid
+        # f16 on the wire: halves device->host traffic; quantization is
+        # ~5e-4 in [0,1] rgb, far below the 8-bit image grid.
+        return preds.astype(jnp.float16), hits.valid
 
     def render(
         self,
@@ -169,27 +194,45 @@ class Renderer:
         if obj_mask_1d is not None:
             obj_mask_1d = np.asarray(obj_mask_1d).reshape(-1)
             assert obj_mask_1d.shape[0] == H * W
-            coords = pixel_grid_coords(H, W)[obj_mask_1d]
+            pix_idx = np.nonzero(obj_mask_1d)[0].astype(np.int32)
         else:
-            coords = pixel_grid_coords(H, W)
-        L = coords.shape[0]
+            pix_idx = np.arange(H * W, dtype=np.int32)
+        L = pix_idx.shape[0]
         assert L > 0
+
+        # Z-order the pixels so each tracer ray-tile is a compact image block
+        # (tight bounding cone -> effective tile culling).
+        xy = np.stack([pix_idx % W, pix_idx // W], axis=-1)
+        morton = pixel_morton_order(xy)
+        pix_idx = pix_idx[morton]
+
+        Lpad = -(-L // _PAD_BUCKET) * _PAD_BUCKET
+        pad = Lpad - L
+        pix_idx_pad = np.pad(pix_idx, (0, pad), mode="edge")
 
         if distortion_type is not None:
             assert distortion_coeffs is not None
-            if distortion_type == DistortionTypes.MESHROOM_RADIAL_K3:
-                coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
-            else:
+            if distortion_type != DistortionTypes.MESHROOM_RADIAL_K3:
                 raise ValueError(f"Unknown distortion type: {distortion_type}")
-
-        Lpad = -(-L // _PAD_BUCKET) * _PAD_BUCKET
-        coords_pad = np.zeros((Lpad, 2), dtype=np.float32)
-        coords_pad[:L] = coords
-
-        origins, dirs = ray_origins_and_directions(camCv2world, K, coords_pad)
-        preds, valid = self._pipeline(self.variables, self.features, origins, dirs)
-        preds = np.asarray(preds[:L])
-        valid = np.asarray(valid[:L])
+            coords = np.stack(
+                [pix_idx_pad % W, pix_idx_pad // W], axis=-1
+            ).astype(np.float64)
+            coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
+            preds, valid = self._pipeline_coords(
+                self.variables, self.features, coords.astype(np.float32),
+                np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
+            )
+        else:
+            preds, valid = self._pipeline_idx(
+                self.variables, self.features, pix_idx_pad,
+                np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
+            )
+        preds_m = np.asarray(preds[:L], dtype=np.float32)
+        valid_m = np.asarray(valid[:L])
+        preds = np.empty_like(preds_m)
+        valid = np.empty_like(valid_m)
+        preds[morton] = preds_m
+        valid[morton] = valid_m
 
         bg = 1.0 if self.background == "white" else 0.0
         assert self.background in ("white", "black")
