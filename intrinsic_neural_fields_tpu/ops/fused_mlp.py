@@ -1,0 +1,408 @@
+"""Fused Pallas forward/backward for the TextureField skip-MLP.
+
+The texture field is a small MLP (default 6 layers x 128 hidden with one
+input re-injection). Under XLA, one training step lowers to dozens of small
+kernels — each matmul, bias add, activation, and transpose-matmul of the
+backward pass pays its own launch + HBM round trip, and at batch 4096 that
+overhead rivals the math. These kernels execute the ENTIRE network per batch
+tile inside VMEM:
+
+  - forward: one pallas_call, all layers chained in-register/VMEM, one HBM
+    read of the input tile and one write of the output.
+  - backward: one pallas_call that RECOMPUTES the forward activations from
+    the input tile (cheaper than round-tripping activations through HBM) and
+    accumulates all weight/bias gradients across batch tiles in the output
+    buffers (the TPU grid is sequential, so "+=" into the same block is
+    race-free). The gradient w.r.t. the input is never computed — the input
+    is data.
+
+Exposed as `fused_apply` with a custom VJP, drop-in equivalent to
+TextureField.apply for the plain configuration (efuncs input, relu, sigmoid
+head, no batchnorm) — equivalence is tested against the flax forward and
+jax.grad. Weight layout matches flax's Dense kernels ([in, out]).
+
+Hardware alignment: K is padded to a lane multiple (128) with zero columns,
+the 3-channel output head to 128 columns; padded regions carry zeros through
+both passes and are sliced off outside.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class FusedMLPSpec:
+    num_layers: int      # total Dense depth incl. output (reference num_layers)
+    k_in: int            # input feature dim (unpadded)
+    hidden: int          # hidden width (must be a multiple of 128)
+    skip_idx: int        # layer index with the input re-injection
+    out_dim: int = 3
+
+    @property
+    def k_pad(self):
+        return _round_up(self.k_in, 128)
+
+    @property
+    def out_pad(self):
+        return _round_up(self.out_dim, 128)
+
+    def weight_names(self):
+        """Flax Dense_{i} creation order in TextureField.__call__: one Dense
+        per layer, TWO at the skip layer (h-projection then x-projection)."""
+        names = []
+        d = 0
+        for i in range(self.num_layers - 1):
+            if i == self.skip_idx:
+                names.append((f"Dense_{d}", "skip_h"))
+                names.append((f"Dense_{d + 1}", "skip_x"))
+                d += 2
+            else:
+                names.append((f"Dense_{d}", "hidden" if i else "input"))
+                d += 1
+        names.append((f"Dense_{d}", "out"))
+        return names
+
+
+def params_to_list(spec: FusedMLPSpec, flax_params):
+    """Flax TextureField params -> padded [W, b] list in layer order."""
+    out = []
+    for name, role in spec.weight_names():
+        W = jnp.asarray(flax_params[name]["kernel"], jnp.float32)
+        b = jnp.asarray(flax_params[name]["bias"], jnp.float32)
+        if role in ("input", "skip_x"):
+            W = jnp.pad(W, ((0, spec.k_pad - spec.k_in), (0, 0)))
+        if role == "out":
+            W = jnp.pad(W, ((0, 0), (0, spec.out_pad - spec.out_dim)))
+            b = jnp.pad(b, (0, spec.out_pad - spec.out_dim))
+        out.append(W)
+        out.append(b.reshape(1, -1))
+    return out
+
+
+def grads_to_flax(spec: FusedMLPSpec, grad_list, flax_params_template=None):
+    """Inverse of params_to_list for gradients (strips padding)."""
+    out = {}
+    it = iter(grad_list)
+    for name, role in spec.weight_names():
+        dW = next(it)
+        db = next(it).reshape(-1)
+        if role in ("input", "skip_x"):
+            dW = dW[: spec.k_in]
+        if role == "out":
+            dW = dW[:, : spec.out_dim]
+            db = db[: spec.out_dim]
+        out[name] = {"kernel": dW, "bias": db}
+    return out
+
+
+# Matmuls run with bfloat16 inputs and float32 accumulation — the same
+# numerics XLA's default matmul precision gives the flax path on TPU, at
+# full MXU rate (f32 inputs would run the systolic array at 1/4 speed).
+_MM_IN = jnp.bfloat16
+
+
+def _mm(a, b):
+    return jnp.dot(a.astype(_MM_IN), b.astype(_MM_IN),
+                   preferred_element_type=jnp.float32)
+
+
+def _mm_tn(a, b):
+    """a^T @ b contraction over the batch dim: [B,M]x[B,N] -> [M,N]."""
+    return lax.dot_general(a.astype(_MM_IN), b.astype(_MM_IN),
+                           (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _mm_nt(a, b):
+    """a @ b^T: [B,N]x[M,N] -> [B,M]."""
+    return lax.dot_general(a.astype(_MM_IN), b.astype(_MM_IN),
+                           (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _forward_layers(spec, x, wb):
+    """Shared fwd chain. Returns (pre-sigmoid output, activations list)."""
+    acts = [x]
+    h = x
+    w = 0
+    for i in range(spec.num_layers - 1):
+        if i == spec.skip_idx:
+            Wh, bh, Wx, bx = wb[w], wb[w + 1], wb[w + 2], wb[w + 3]
+            w += 4
+            h = jnp.maximum(_mm(h, Wh) + bh + _mm(x, Wx) + bx, 0.0)
+        else:
+            W, b = wb[w], wb[w + 1]
+            w += 2
+            h = jnp.maximum(_mm(h, W) + b, 0.0)
+        acts.append(h)
+    Wo, bo = wb[w], wb[w + 1]
+    return _mm(h, Wo) + bo, acts
+
+
+def _make_fwd_kernel(spec):
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        wb = [r[:] for r in refs[:-1]]
+        z, _ = _forward_layers(spec, x_ref[:], wb)
+        out_ref[:] = jax.nn.sigmoid(z)
+
+    return kernel
+
+
+def _make_bwd_kernel(spec):
+    n_wb = 2 * len(spec.weight_names())
+
+    def kernel(x_ref, g_ref, *refs):
+        wb_refs = refs[:n_wb]
+        grad_refs = refs[n_wb:]
+        wb = [r[:] for r in wb_refs]
+
+        x = x_ref[:]
+        z, acts = _forward_layers(spec, x, wb)
+        pred = jax.nn.sigmoid(z)
+        d = g_ref[:] * pred * (1.0 - pred)  # sigmoid VJP
+
+        step = pl.program_id(0)
+
+        def acc(ref, val):
+            @pl.when(step == 0)
+            def _():
+                ref[:] = val
+
+            @pl.when(step != 0)
+            def _():
+                ref[:] = ref[:] + val
+
+        # Walk the layers backwards, mirroring _forward_layers' layout.
+        # Weight/bias slots per layer: skip layer has 4, others 2.
+        slots = []
+        w = 0
+        for i in range(spec.num_layers - 1):
+            n = 4 if i == spec.skip_idx else 2
+            slots.append((i, w, n))
+            w += n
+        out_slot = w
+
+        # Output layer
+        h_last = acts[-1]
+        acc(grad_refs[out_slot], _mm_tn(h_last, d))
+        acc(grad_refs[out_slot + 1], jnp.sum(d, axis=0, keepdims=True))
+        d = _mm_nt(d, wb[out_slot])  # delta into the last hidden activation
+
+        for i, w, n in reversed(slots):
+            h_in = acts[i]       # input to layer i
+            h_out = acts[i + 1]  # its (post-relu) output
+            d = d * (h_out > 0.0)
+            if n == 4:
+                acc(grad_refs[w], _mm_tn(h_in, d))          # dWh
+                acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
+                acc(grad_refs[w + 2], _mm_tn(x, d))         # dWx (input branch)
+                acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
+                d = _mm_nt(d, wb[w])                        # continue via Wh
+            else:
+                acc(grad_refs[w], _mm_tn(h_in, d))
+                acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
+                if i > 0:
+                    d = _mm_nt(d, wb[w])
+                # i == 0: input gradient unused — stop.
+
+    return kernel
+
+
+def _loss_grad_elem(loss_type, pred, gt, inv_n):
+    """d loss / d pred for mean-reduced elementwise losses."""
+    diff = pred - gt
+    if loss_type == "L1":
+        return jnp.sign(diff) * inv_n
+    if loss_type == "L2":
+        return 2.0 * diff * inv_n
+    if loss_type == "cauchy":
+        c2 = (20.0 / 255.0) ** 2
+        return (2.0 * diff / (1.0 + diff * diff / c2)) * inv_n
+    raise ValueError(loss_type)
+
+
+def _loss_elem(loss_type, pred, gt):
+    diff = pred - gt
+    if loss_type == "L1":
+        return jnp.abs(diff)
+    if loss_type == "L2":
+        return diff * diff
+    c2 = (20.0 / 255.0) ** 2
+    return c2 * jnp.log1p(diff * diff / c2)
+
+
+def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
+                           interpret=None):
+    """ONE pallas call per training step: forward, loss, backward, gradient
+    accumulation — a single HBM read of the batch, a single kernel launch.
+
+    Returns f(wb_list, x_padded [B,k_pad], gt [B,out_dim]) ->
+      (grads list, loss_sum scalar, sq_err_sum scalar)
+    where loss_sum / sq_err_sum follow the trainer's accumulation conventions
+    (sum of per-element loss means x batch, sum of squared errors).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_wb = 2 * len(spec.weight_names())
+    const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, gt_ref, *refs):
+        wb_refs = refs[:n_wb]
+        grad_refs = refs[n_wb:-2]
+        loss_ref, sq_ref = refs[-2], refs[-1]
+        wb = [r[:] for r in wb_refs]
+
+        x = x_ref[:]
+        gt = gt_ref[:]
+        z, acts = _forward_layers(spec, x, wb)
+        pred = jax.nn.sigmoid(z)
+
+        step = pl.program_id(0)
+        n_total = pl.num_programs(0) * batch_tile * spec.out_dim
+
+        # mask padded output columns out of the loss
+        col = lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+        valid = col < spec.out_dim
+        loss_val = jnp.sum(jnp.where(valid, _loss_elem(loss_type, pred, gt), 0.0))
+        sq_val = jnp.sum(jnp.where(valid, (pred - gt) ** 2, 0.0))
+
+        def acc(ref, val):
+            @pl.when(step == 0)
+            def _():
+                ref[:] = val
+
+            @pl.when(step != 0)
+            def _():
+                ref[:] = ref[:] + val
+
+        acc(loss_ref, loss_val.reshape(1, 1))
+        acc(sq_ref, sq_val.reshape(1, 1))
+
+        g = jnp.where(valid, _loss_grad_elem(loss_type, pred, gt, 1.0 / n_total), 0.0)
+        d = g * pred * (1.0 - pred)
+
+        slots = []
+        w = 0
+        for i in range(spec.num_layers - 1):
+            n = 4 if i == spec.skip_idx else 2
+            slots.append((i, w, n))
+            w += n
+        out_slot = w
+
+        acc(grad_refs[out_slot], _mm_tn(acts[-1], d))
+        acc(grad_refs[out_slot + 1], jnp.sum(d, axis=0, keepdims=True))
+        d = _mm_nt(d, wb[out_slot])
+
+        for i, w, n in reversed(slots):
+            d = d * (acts[i + 1] > 0.0)
+            acc(grad_refs[w], _mm_tn(acts[i], d))
+            acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
+            if n == 4:
+                acc(grad_refs[w + 2], _mm_tn(x, d))
+                acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
+            if i > 0:
+                d = _mm_nt(d, wb[w])
+
+    def run(wb, x, gt):
+        B = x.shape[0]
+        gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
+                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
+        grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(grad_shapes) + (
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            grid=(B // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch_tile, spec.out_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [const_spec() for _ in range(n_wb)],
+            out_specs=tuple(const_spec() for _ in range(n_wb + 2)),
+            interpret=interpret,
+        )(x, gt_pad, *wb)
+        grads = list(outs[:n_wb])
+        # sums over the B x out_dim REAL elements (padded cols contributed 0)
+        loss_sum = outs[n_wb][0, 0]
+        sq_sum = outs[n_wb + 1][0, 0]
+        return grads, loss_sum, sq_sum
+
+    return run
+
+
+def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):
+    """Returns apply(wb_list, x_padded) -> rgb [B, out_dim] with custom VJP.
+
+    x_padded: [B, k_pad] float32, B a multiple of batch_tile.
+    wb_list: the padded weight/bias list from params_to_list.
+    interpret: run the kernels in the pallas interpreter (auto-on for CPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_wb = 2 * len(spec.weight_names())
+    const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _fwd_impl(wb, x):
+        B = x.shape[0]
+        grid = (B // batch_tile,)
+        out = pl.pallas_call(
+            _make_fwd_kernel(spec),
+            out_shape=jax.ShapeDtypeStruct((B, spec.out_pad), jnp.float32),
+            grid=grid,
+            in_specs=[pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [const_spec() for _ in range(n_wb)],
+            out_specs=pl.BlockSpec((batch_tile, spec.out_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, *wb)
+        return out[:, : spec.out_dim]
+
+    @jax.custom_vjp
+    def fused_apply(wb, x):
+        return _fwd_impl(wb, x)
+
+    def fwd(wb, x):
+        return _fwd_impl(wb, x), (wb, x)
+
+    def bwd(res, g):
+        wb, x = res
+        B = x.shape[0]
+        g_pad = jnp.pad(jnp.asarray(g, jnp.float32),
+                        ((0, 0), (0, spec.out_pad - spec.out_dim)))
+        grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        grads = pl.pallas_call(
+            _make_bwd_kernel(spec),
+            out_shape=tuple(grad_shapes),
+            grid=(B // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch_tile, spec.out_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [const_spec() for _ in range(n_wb)],
+            out_specs=tuple(const_spec() for _ in range(n_wb)),
+            interpret=interpret,
+        )(x, g_pad, *wb)
+        return list(grads), None  # no gradient for the input features
+
+    fused_apply.defvjp(fwd, bwd)
+    return fused_apply

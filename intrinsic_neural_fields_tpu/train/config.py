@@ -86,6 +86,7 @@ def _make_split_data(config, mesh, split_key):
         embed_strategy=config["data"].get("embed_strategy"),
         eigenvalues_path=config["data"].get("eigenvalues_path"),
         precompute=config["data"].get("precompute_hit_features", "auto"),
+        precompute_dtype=config["data"].get("precompute_dtype"),
         seed=config.get("seed", 0),
     )
 

@@ -79,6 +79,15 @@ def test_blocks_shuffle_matches_full_quality():
     assert loss_blocks < 0.1, loss_blocks
 
 
+def test_bf16_precompute_quality_matches_f32():
+    data32 = precompute_hit_features(_raydata(n=8192))
+    data16 = precompute_hit_features(_raydata(n=8192), dtype=jnp.bfloat16)
+    assert data16.hit_features.dtype == jnp.bfloat16
+    loss32 = _train(data32, "blocks")
+    loss16 = _train(data16, "blocks")
+    assert loss16 < 1.3 * loss32 + 1e-3, (loss32, loss16)
+
+
 def test_blocks_falls_back_to_full_without_precompute():
     data = _raydata()  # no hit_features
     loss = _train(data, "blocks", epochs=5)
