@@ -93,6 +93,24 @@ def _assemble_cotan(faces, cots, n_vertices):
     return L.tocsr()
 
 
+def cotan_laplacian_from_lengths(faces, lengths, n_vertices):
+    """PSD cotan stiffness from an INTRINSIC metric (faces + edge lengths)."""
+    faces = np.asarray(faces, dtype=np.int64)
+    area = _heron_area(lengths)
+    cots = _cotangents_from_lengths(lengths, area)
+    return _assemble_cotan(faces, cots, n_vertices)
+
+
+def barycentric_mass_from_lengths(faces, lengths, n_vertices):
+    """Diagonal lumped mass from an intrinsic metric."""
+    faces = np.asarray(faces, dtype=np.int64)
+    area = _heron_area(lengths)
+    m = np.zeros(n_vertices)
+    for c in range(3):
+        np.add.at(m, faces[:, c], area / 3.0)
+    return sparse.diags(m).tocsr()
+
+
 def cotan_laplacian(vertices, faces, mollify=False):
     """Positive semi-definite cotan stiffness matrix (== -igl.cotmatrix)."""
     vertices = np.asarray(vertices, dtype=np.float64)
@@ -103,6 +121,32 @@ def cotan_laplacian(vertices, faces, mollify=False):
     area = _heron_area(l)
     cots = _cotangents_from_lengths(l, area)
     return _assemble_cotan(faces, cots, vertices.shape[0])
+
+
+def robust_laplacian(vertices, faces):
+    """The robust operator of Sharp & Crane, "A Laplacian for Nonmanifold
+    Triangle Meshes" (2020): intrinsic mollification -> tufted double cover
+    (every edge becomes interior and flippable) -> intrinsic Delaunay edge
+    flips -> cotan stiffness + lumped mass of the resulting metric, halved
+    (the cover doubles every face). The result is an M-matrix even on meshes
+    with boundary, skinny triangles, or nonmanifold edges. Replaces
+    robust_laplacian.mesh_laplacian (reference mesh.py:125-128)."""
+    from .intrinsic_delaunay import build_double_cover, intrinsic_delaunay
+
+    vertices = np.asarray(vertices, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    l = _mollify_lengths(_edge_lengths(vertices, faces))
+    faces_cov, l_cov = build_double_cover(faces, l)
+    faces_idt, l_idt, _ = intrinsic_delaunay(faces_cov, l_cov)
+    n = vertices.shape[0]
+    L = 0.5 * cotan_laplacian_from_lengths(faces_idt, l_idt, n)
+    M = 0.5 * barycentric_mass_from_lengths(faces_idt, l_idt, n)
+    M = M.tocsr()
+    d = M.diagonal()
+    if d.min() <= 0:
+        eps = 1e-12 * d[d > 0].mean()
+        M = sparse.diags(np.maximum(d, eps)).tocsr()
+    return L.tocsr(), M
 
 
 def barycentric_mass_matrix(vertices, faces):
@@ -159,14 +203,7 @@ def build_laplacian(mesh, laplacian_type="cotan"):
         L = cotan_laplacian(mesh.vertices, mesh.faces)
         M = voronoi_mass_matrix(mesh.vertices, mesh.faces)
     elif laplacian_type == "robust":
-        L = cotan_laplacian(mesh.vertices, mesh.faces, mollify=True)
-        M = barycentric_mass_matrix(mesh.vertices, mesh.faces)
-        # Vertices touched only by zero-area faces get zero mass, which makes
-        # the pencil singular; clamp so the "robust" path survives them.
-        d = M.diagonal()
-        if d.min() <= 0:
-            eps = 1e-12 * d[d > 0].mean()
-            M = sparse.diags(np.maximum(d, eps)).tocsr()
+        L, M = robust_laplacian(mesh.vertices, mesh.faces)
     elif laplacian_type == "pc_vert_robust":
         from .pointcloud import point_cloud_laplacian
 

@@ -69,19 +69,14 @@ def local_triangulation(points, n_neighbors=16):
 
 
 def point_cloud_laplacian(points, n_neighbors=16):
-    """(L PSD csr, M diagonal csr) over the local triangulation of `points`."""
-    from .laplacian import barycentric_mass_matrix, cotan_laplacian
+    """(L PSD csr, M diagonal csr) over the local triangulation of `points`:
+    mollified intrinsic-Delaunay cotan operator (flips on the triangulation's
+    manifold interior edges) + lumped mass, replacing
+    robust_laplacian.point_cloud_laplacian (reference mesh.py:129-133)."""
+    from .laplacian import robust_laplacian
 
     points = np.asarray(points, dtype=np.float64)
     faces = local_triangulation(points, n_neighbors=n_neighbors)
     if faces.shape[0] == 0:
         raise RuntimeError("point_cloud_laplacian: local triangulation produced no faces")
-    L = cotan_laplacian(points, faces, mollify=True)
-    M = barycentric_mass_matrix(points, faces)
-    # Guard against isolated points (zero mass rows make the pencil singular).
-    d = M.diagonal()
-    eps = 1e-12 * d[d > 0].mean()
-    import scipy.sparse as sparse
-
-    M = sparse.diags(np.maximum(d, eps)).tocsr()
-    return L, M
+    return robust_laplacian(points, faces)
