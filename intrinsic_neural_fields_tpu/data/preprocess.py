@@ -43,12 +43,20 @@ class MeshViewPreProcessor:
         """Returns dense (t, face_idx, bary, valid) numpy arrays."""
         if self.intersector == "host":
             return intersect_rays_numpy(self.mesh.vertices, self.mesh.faces, origins, dirs)
-        hits = intersect_rays(self._verts_f32, self._faces, origins, dirs)
+        # Bucket-pad the ray count so jit compiles once per bucket, not once
+        # per view (mask sizes differ view to view). Edge padding keeps the
+        # culling cones tight.
+        L = origins.shape[0]
+        bucket = 1 << 15
+        Lpad = -(-L // bucket) * bucket
+        o = np.pad(origins, ((0, Lpad - L), (0, 0)), mode="edge")
+        d = np.pad(dirs, ((0, Lpad - L), (0, 0)), mode="edge")
+        hits = intersect_rays(self._verts_f32, self._faces, o, d)
         return (
-            np.asarray(hits.t),
-            np.asarray(hits.face_idx),
-            np.asarray(hits.bary),
-            np.asarray(hits.valid),
+            np.asarray(hits.t)[:L],
+            np.asarray(hits.face_idx)[:L],
+            np.asarray(hits.bary)[:L],
+            np.asarray(hits.valid)[:L],
         )
 
     def cache_single_view(

@@ -294,7 +294,7 @@ def intersect_rays(
     return Hits(t=best_t, face_idx=best_f, bary=bary.astype(jnp.float32), valid=valid)
 
 
-def intersect_rays_numpy(vertices, faces, origins, dirs, chunk=4096):
+def intersect_rays_numpy(vertices, faces, origins, dirs, chunk=None):
     """Float64 Moller-Trumbore oracle on the host (independent of the XLA
     path; used for parity tests and high-precision offline preprocessing).
 
@@ -307,6 +307,10 @@ def intersect_rays_numpy(vertices, faces, origins, dirs, chunk=4096):
 
     tri = vertices[faces]  # F x 3 x 3
     v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+
+    if chunk is None:
+        # keep the [chunk, F, 3] f64 temporaries around ~100MB
+        chunk = max(64, int(4e6 // max(faces.shape[0], 1)))
 
     R = origins.shape[0]
     out_t = np.full(R, np.inf)
