@@ -94,11 +94,18 @@ def main():
         view = renderer.render(pose_render[:3], cam_render["K"])
         imwrite(join(image_folder, f"{idx:04d}.jpg"), view)
 
+    import shutil as _shutil
+
     video_name = join(args.out_dir, f"{folder_name}_{args.resolution}.mp4")
-    os.system(
-        f"ffmpeg -y -framerate {args.fps} -pattern_type glob -i '{image_folder}/*.jpg' "
-        f"-c:v libx264 -crf 17 -pix_fmt yuv420p {video_name}"
-    )
+    if _shutil.which("ffmpeg") is None:
+        print(f"ffmpeg not found — frames left in {image_folder}; encode with:\n"
+              f"  ffmpeg -framerate {args.fps} -pattern_type glob -i '{image_folder}/*.jpg' "
+              f"-c:v libx264 -crf 17 -pix_fmt yuv420p {video_name}")
+    else:
+        os.system(
+            f"ffmpeg -y -framerate {args.fps} -pattern_type glob -i '{image_folder}/*.jpg' "
+            f"-c:v libx264 -crf 17 -pix_fmt yuv420p {video_name}"
+        )
 
 
 if __name__ == "__main__":

@@ -16,6 +16,15 @@ Example:
 
 The correspondence file may be a .npy int array (target->source vertex ids) or
 a .mat in the reference's format (key "P", 1-based, cell [0,0][1]).
+
+IMPORTANT: --source_efuncs_full must contain the EXACT basis the model was
+trained on, extended with the constant eigenfunction in front (and optionally
+more columns behind) — splice it like the reference notebooks do
+(texture_transfer_cat_tosca2.ipynb cell 4) rather than re-solving, because an
+independent eigensolve returns different signs/rotations in degenerate
+subspaces and the functional map would align to the wrong basis. With the
+spliced basis and an identity correspondence, transfer reproduces the source
+render pixel-exactly (verified).
 """
 import argparse
 import os
