@@ -40,8 +40,11 @@ def _sign(p1, p2, p3):
 
 
 def point_in_tri_matched(p, a, b, c):
-    """p [N,2] vs per-point candidate triangles a/b/c [N,T,2] -> [N,T] bool,
-    boundary-inclusive."""
+    """p [N,2] vs per-point candidate triangles a/b/c [N,T,2] -> [N,T] bool.
+
+    NOTE: boundary-EXCLUSIVE (texels exactly on a triangle edge are rejected
+    and later filled by uv_fill_holes) — same behavior as the reference's
+    point_in_tri_matched (bake_texture_field.py:66-93)."""
     p = p[:, None, :]
     d1 = _sign(p, a, b)
     d2 = _sign(p, b, c)
@@ -143,6 +146,7 @@ def _field_rgbs(mesh, config, vids, bary, chunk=1 << 13):
             rescale_strategy=config["data"].get("rescale_strategy", "standard"),
             embed_strategy=config["data"].get("embed_strategy"),
             eigenvalues_path=config["data"].get("eigenvalues_path"),
+            ts=config["model"].get("hks_timesteps", 128),
         )
         key = "eigenfunctions"
     elif feature_strategy in ("xyz", "ff", "rff"):

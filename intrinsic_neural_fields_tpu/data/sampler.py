@@ -121,6 +121,7 @@ def create_ray_data(
     rescale_strategy="standard",
     embed_strategy=None,
     eigenvalues_path=None,
+    hks_timesteps=128,
     precompute="auto",
     precompute_dtype=None,
     shuffle_once=True,
@@ -140,6 +141,7 @@ def create_ray_data(
             rescale_strategy=rescale_strategy,
             embed_strategy=embed_strategy,
             eigenvalues_path=eigenvalues_path,
+            ts=hks_timesteps,
         )
     elif feature_strategy in ("ff", "rff", "xyz"):
         assert mesh is not None

@@ -251,8 +251,9 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
 
     Returns f(wb_list, x_padded [B,k_pad], gt [B,out_dim]) ->
       (grads list, loss_sum scalar, sq_err_sum scalar)
-    where loss_sum / sq_err_sum follow the trainer's accumulation conventions
-    (sum of per-element loss means x batch, sum of squared errors).
+    where loss_sum and sq_err_sum are SUMS over all B*out_dim real elements
+    (divide loss_sum by B*out_dim for the mean the train step optimizes).
+    B must be a multiple of batch_tile (asserted).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -318,6 +319,9 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
 
     def run(wb, x, gt):
         B = x.shape[0]
+        assert B % batch_tile == 0 and B > 0, (
+            f"batch {B} must be a positive multiple of batch_tile {batch_tile}"
+        )
         gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
                          ((0, 0), (0, spec.out_pad - spec.out_dim)))
         grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
@@ -361,6 +365,9 @@ def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):
 
     def _fwd_impl(wb, x):
         B = x.shape[0]
+        assert B % batch_tile == 0 and B > 0, (
+            f"batch {B} must be a positive multiple of batch_tile {batch_tile}"
+        )
         grid = (B // batch_tile,)
         out = pl.pallas_call(
             _make_fwd_kernel(spec),
@@ -385,6 +392,7 @@ def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):
     def bwd(res, g):
         wb, x = res
         B = x.shape[0]
+        assert B % batch_tile == 0 and B > 0
         g_pad = jnp.pad(jnp.asarray(g, jnp.float32),
                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
         grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]

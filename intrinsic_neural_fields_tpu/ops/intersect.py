@@ -129,7 +129,10 @@ def intersect_rays(
     """Nearest-hit intersection of R rays against F triangles.
 
     Args:
-      vertices: [V,3] f32. faces: [F,3] i32. origins/dirs: [R,3] f32.
+      vertices: [V,3] f32. faces: [F,3] i32. origins/dirs: [R,3] f32 (dirs
+        need not be unit length — they are normalized internally and the
+        returned t is converted back so origins + t*dirs hits the surface;
+        t_max is interpreted in Euclidean/unit-direction units).
       cull: skip face tiles whose bounding sphere misses the ray tile's
         bounding cone (a cheap conservative test per (ray tile, face tile)
         pair, executed as a real branch via lax.cond). Results are identical
@@ -142,6 +145,13 @@ def intersect_rays(
     faces = jnp.asarray(faces, jnp.int32)
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
+
+    # The culled traversal reasons about Euclidean distances (cone half-angle,
+    # front-to-back t lower bounds), which requires unit directions; normalize
+    # defensively and convert t back to the caller's parameterization at the
+    # end so o + t*dirs still reaches the hit point for any input scale.
+    dir_norm = jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    dirs = dirs / dir_norm
 
     R = origins.shape[0]
     F = faces.shape[0]
@@ -282,7 +292,7 @@ def intersect_rays(
         return carry
 
     best_t, best_f, best_u, best_v = lax.map(per_ray_tile, (origins_t, dirs_t))
-    best_t = best_t.reshape(-1)[:R]
+    best_t = best_t.reshape(-1)[:R] / dir_norm.reshape(-1)[:R]
     best_f = best_f.reshape(-1)[:R]
     best_u = jnp.clip(best_u.reshape(-1)[:R], 0.0, 1.0)
     best_v = jnp.clip(best_v.reshape(-1)[:R], 0.0, 1.0)

@@ -47,6 +47,7 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt"):
             rescale_strategy=config["data"].get("rescale_strategy", "standard"),
             embed_strategy=config["data"].get("embed_strategy"),
             eigenvalues_path=config["data"].get("eigenvalues_path"),
+            ts=config["model"].get("hks_timesteps", 128),
         )
 
     model = make_model(config["model"], mesh=mesh)

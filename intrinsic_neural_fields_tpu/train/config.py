@@ -85,6 +85,7 @@ def _make_split_data(config, mesh, split_key):
         rescale_strategy=config["data"].get("rescale_strategy", "standard"),
         embed_strategy=config["data"].get("embed_strategy"),
         eigenvalues_path=config["data"].get("eigenvalues_path"),
+        hks_timesteps=config["model"].get("hks_timesteps", 128),
         precompute=config["data"].get("precompute_hit_features", "auto"),
         precompute_dtype=config["data"].get("precompute_dtype"),
         seed=config.get("seed", 0),
@@ -128,6 +129,7 @@ def get_renderer(config, model, variables, mesh):
             rescale_strategy=config["data"].get("rescale_strategy", "standard"),
             embed_strategy=config["data"].get("embed_strategy"),
             eigenvalues_path=config["data"].get("eigenvalues_path"),
+            ts=config["model"].get("hks_timesteps", 128),
         )
         return Renderer(
             model,

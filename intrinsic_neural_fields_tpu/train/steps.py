@@ -74,14 +74,6 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
     assert shuffle in ("full", "blocks")
     loss_elem = elementwise_loss(loss_type)
 
-    def _variables(params, state):
-        v = {"params": params}
-        if state.buffers:
-            v["buffers"] = state.buffers
-        if state.batch_stats:
-            v["batch_stats"] = state.batch_stats
-        return v
-
     def _forward(params, buffers, batch, batch_stats=None):
         variables = {"params": params}
         if buffers:
@@ -94,24 +86,40 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
 
     @functools.partial(jax.jit, static_argnames=("num_batches", "batch_size"), donate_argnums=(0,))
     def train_epoch(state: TrainState, key, data: RayData, num_batches: int, batch_size: int):
-        use_blocks = shuffle == "blocks" and data.hit_features is not None
+        n = data.n
+        assert num_batches * batch_size <= n or num_batches == -(-n // batch_size), (
+            f"num_batches {num_batches} inconsistent with n={n}, batch={batch_size}"
+        )
+        has_tail = num_batches * batch_size > n
+        # Streaming block slices require full blocks; a ragged tail falls back
+        # to the gather path (weighted, like the reference's drop_last=False
+        # smaller final batch).
+        use_blocks = (
+            shuffle == "blocks" and data.hit_features is not None and not has_tail
+        )
         if use_blocks:
             block_order = jax.random.permutation(key, num_batches)
         else:
-            perm = jax.random.permutation(key, data.n)
+            perm = jax.random.permutation(key, n)
 
         def step(carry, i):
-            params, opt_state, batch_stats, acc_loss, acc_sq = carry
+            params, opt_state, batch_stats, acc_loss, acc_sq, acc_n = carry
             if use_blocks:
                 batch = slice_batch(data, block_order[i] * batch_size, batch_size)
+                w = jnp.ones((batch_size,), jnp.float32)
             else:
-                idx = lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+                pos = i * batch_size + jnp.arange(batch_size)
+                w = (pos < n).astype(jnp.float32)
+                idx = jnp.take(perm, jnp.minimum(pos, n - 1))
                 batch = gather_batch(data, idx)
             gt = batch["expected_rgbs"]
+            n_b = jnp.sum(w)
 
             def loss_of(p):
                 # Self-loss models (NeuTex) compute their own composite loss
-                # (reference trainer.py:71-76).
+                # (reference trainer.py:71-76). They see full batches only
+                # when drop_last holds (tail rows are duplicates otherwise,
+                # which slightly overweights them in that rare combination).
                 if getattr(model, "computes_loss", False):
                     variables = {"params": p}
                     if state.buffers:
@@ -125,9 +133,14 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
                     pred, mutated = model.apply(
                         variables, batch, train=True, mutable=["batch_stats"]
                     )
-                    return jnp.mean(loss_elem(pred, gt)), (pred, mutated["batch_stats"])
-                pred = _forward(p, state.buffers, batch)
-                return jnp.mean(loss_elem(pred, gt)), (pred, batch_stats)
+                    new_stats = mutated["batch_stats"]
+                else:
+                    pred = _forward(p, state.buffers, batch)
+                    new_stats = batch_stats
+                # weighted mean == the reference's plain mean over the
+                # (possibly smaller) final batch
+                per_sample = jnp.mean(loss_elem(pred, gt), axis=-1)
+                return jnp.sum(per_sample * w) / n_b, (pred, new_stats)
 
             (loss, (pred, batch_stats)), grads = jax.value_and_grad(
                 loss_of, has_aux=True
@@ -135,21 +148,20 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
 
-            acc_loss = acc_loss + loss * batch_size
-            acc_sq = acc_sq + jnp.sum((pred - gt) ** 2)
-            return (params, opt_state, batch_stats, acc_loss, acc_sq), None
+            acc_loss = acc_loss + loss * n_b
+            acc_sq = acc_sq + jnp.sum(jnp.sum((pred - gt) ** 2, axis=-1) * w)
+            return (params, opt_state, batch_stats, acc_loss, acc_sq, acc_n + n_b), None
 
         init = (
             state.params, state.opt_state, state.batch_stats,
-            jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
         )
-        (params, opt_state, batch_stats, acc_loss, acc_sq), _ = lax.scan(
+        (params, opt_state, batch_stats, acc_loss, acc_sq, acc_n), _ = lax.scan(
             step, init, jnp.arange(num_batches)
         )
-        total = num_batches * batch_size
         metrics = {
-            "loss": acc_loss / total,
-            "sq_err_per_sample": acc_sq / total,
+            "loss": acc_loss / acc_n,
+            "sq_err_per_sample": acc_sq / acc_n,
         }
         return TrainState(params, state.buffers, opt_state, batch_stats), metrics
 

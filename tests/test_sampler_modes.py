@@ -128,6 +128,48 @@ def test_create_ray_data_shuffle_once_and_precompute(tmp_path):
     assert data2.hit_features is None
 
 
+def test_train_tail_batch_weighted_correctly():
+    """drop_last=False: the ragged tail must contribute once (weighted), not
+    as clamped duplicates. With lr=0 the train-epoch loss over ceil batches
+    must equal the val-epoch loss exactly."""
+    data = precompute_hit_features(_raydata(n=1237))
+    cfg = {"k": 32, "num_layers": 4, "mlp_hidden_dim": 32, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=0.0)
+    state = create_train_state(variables, optimizer)
+    train_epoch, val_epoch = make_epoch_fns(model, optimizer, "L1")
+
+    num_batches = -(-data.n // 256)  # ceil: 5 batches, tail of 213
+    state2, m = train_epoch(state, jax.random.PRNGKey(0), data, num_batches, 256)
+    v = jax.device_get(val_epoch(state2, data, 256))
+    m = jax.device_get(m)
+    np.testing.assert_allclose(m["loss"], v["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m["sq_err_per_sample"], v["sq_err_per_sample"], rtol=1e-5)
+
+    # batch_size larger than the dataset must also work (single partial batch)
+    state3, m2 = train_epoch(state2, jax.random.PRNGKey(1), data, 1, 2048)
+    assert np.isfinite(float(jax.device_get(m2["loss"])))
+
+
+def test_intersect_accepts_non_unit_directions():
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.geometry.primitives import icosphere
+    from intrinsic_neural_fields_tpu.ops.intersect import intersect_rays
+
+    m = icosphere(2)
+    o = np.array([[0.0, -3.0, 0.0]], np.float32)
+    d = np.array([[0.0, 1.0, 0.0]], np.float32)
+    h1 = intersect_rays(jnp.asarray(m.vertices, jnp.float32), jnp.asarray(m.faces),
+                        jnp.asarray(o), jnp.asarray(d))
+    h2 = intersect_rays(jnp.asarray(m.vertices, jnp.float32), jnp.asarray(m.faces),
+                        jnp.asarray(o), jnp.asarray(2.5 * d))
+    assert bool(h1.valid[0]) and bool(h2.valid[0])
+    # o + t*d must land on the same point: t scales inversely with |d|
+    np.testing.assert_allclose(float(h2.t[0]) * 2.5, float(h1.t[0]), rtol=1e-5)
+
+
 def test_dp_blocks_mode_runs():
     from intrinsic_neural_fields_tpu.parallel import make_device_mesh, make_dp_epoch_fns
 
