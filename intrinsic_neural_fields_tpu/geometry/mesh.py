@@ -90,8 +90,11 @@ def load_pointcloud(path, n_neighbors=16):
 
 def load_mesh(path):
     """Load a triangle mesh or point cloud, preserving vertex/face order
-    (reference mesh.py:39-50)."""
-    if is_pointcloud_file(path):
-        return load_pointcloud(path)
+    (reference mesh.py:39-50). Single parse: faceless files are detected from
+    the same read and locally triangulated."""
     v, f = read_mesh_file(path)
+    if f.shape[0] == 0:
+        from .pointcloud import local_triangulation
+
+        return Mesh(vertices=v, faces=local_triangulation(v))
     return Mesh(vertices=v, faces=f)
