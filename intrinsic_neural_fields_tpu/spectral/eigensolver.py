@@ -59,11 +59,16 @@ def _dense_device(L, M, k):
     # run the device eigh in f32 and fall back to host LAPACK for parity when
     # the matrix is small (f32 eigh loses too much accuracy for tight spectra).
     C = 0.5 * (C + C.T)
-    if C.shape[0] <= 4096:
-        evals, u = np.linalg.eigh(C)
-    else:
+    n = C.shape[0]
+    # Device eigh (QDWH) needs ~45 n^2 floats of HBM scratch — OOMs beyond
+    # ~6-8k on a 16GB chip — and f32 accuracy suffices only for well-separated
+    # spectra; host LAPACK covers the small (fast, f64) and the large
+    # (memory-safe) regimes.
+    if 4096 < n <= 6000:
         evals_j, u_j = jnp.linalg.eigh(jnp.asarray(C, dtype=jnp.float32))
         evals, u = np.asarray(evals_j, dtype=np.float64), np.asarray(u_j, dtype=np.float64)
+    else:
+        evals, u = np.linalg.eigh(C)
     evals, u = evals[:k], u[:, :k]
     phi = u * inv_sqrt[:, None]
     return evals, phi
