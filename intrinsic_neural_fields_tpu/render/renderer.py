@@ -105,8 +105,11 @@ class Renderer:
         order = face_morton_order(self.mesh.vertices, self.mesh.faces)
         self._faces_sorted = jnp.asarray(self.mesh.faces[order])
         self._face_orig_ids = jnp.asarray(order.astype(np.int32))
-        self._pipeline_idx = jax.jit(self._pipeline_from_indices)
-        self._pipeline_coords = jax.jit(self._pipeline_from_coords)
+        self._trace_idx = jax.jit(self._trace_from_indices)
+        self._trace_coords = jax.jit(self._trace_from_coords)
+        self._infer = jax.jit(self._infer_impl)
+        # Geometry-dependent per-view trace cache (see render(cache_key=...)).
+        self._trace_cache = {}
 
     def set_height(self, height):
         self.H = height
@@ -129,30 +132,37 @@ class Renderer:
         assert self.feature_strategy == "efuncs"
         self.features = jnp.asarray(eigenfunctions, jnp.float32)
 
-    def _pipeline_from_indices(self, variables, features, pix_idx, camCv2world, K):
+    def _rays_from_indices(self, pix_idx, camCv2world, K):
         """Pixel indices -> rays on device (halves the host->device traffic
         vs shipping float coords; ray gen is traced anyway)."""
         x = (pix_idx % self.W).astype(jnp.float32)
         y = (pix_idx // self.W).astype(jnp.float32)
         coords = jnp.stack([x, y], axis=-1)
-        origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
-        return self._pipeline_impl(variables, features, origins, dirs)
+        return ray_origins_and_directions(camCv2world, K, coords)
 
-    def _pipeline_from_coords(self, variables, features, coords, camCv2world, K):
+    def _trace_from_indices(self, pix_idx, camCv2world, K):
+        origins, dirs = self._rays_from_indices(pix_idx, camCv2world, K)
+        return self._trace_impl(origins, dirs)
+
+    def _trace_from_coords(self, coords, camCv2world, K):
         """Explicit (possibly undistorted) pixel coordinates."""
         origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
-        return self._pipeline_impl(variables, features, origins, dirs)
+        return self._trace_impl(origins, dirs)
 
-    def _pipeline_impl(self, variables, features, origins, dirs):
-        """[Lpad,3] rays -> ([Lpad,3] rgb f16, [Lpad] valid). Runs as one jit."""
+    def _trace_impl(self, origins, dirs):
+        """[Lpad,3] rays -> per-ray hit records (device arrays)."""
         hits = intersect_rays(self._verts, self._faces_sorted, origins, dirs)
         safe_face_sorted = jnp.where(hits.valid, hits.face_idx, 0)
         vids = jnp.take(self._faces_sorted, safe_face_sorted, axis=0)
         # map back to original face ids for downstream normal lookups
         safe_face = jnp.take(self._face_orig_ids, safe_face_sorted)
+        return vids, hits.bary, dirs, safe_face, hits.valid
 
-        Lpad = origins.shape[0]
-        n_chunks = Lpad // _INFER_CHUNK if Lpad % _INFER_CHUNK == 0 else -(-Lpad // _INFER_CHUNK)
+    def _infer_impl(self, variables, features, trace):
+        """Hit records -> ([Lpad,3] rgb f16, [Lpad] valid)."""
+        vids, bary, dirs, safe_face, valid = trace
+        Lpad = vids.shape[0]
+        n_chunks = -(-Lpad // _INFER_CHUNK)
         pad = n_chunks * _INFER_CHUNK - Lpad
 
         def pad0(x):
@@ -161,7 +171,7 @@ class Renderer:
 
         chunked = jax.tree_util.tree_map(
             lambda x: pad0(x).reshape(n_chunks, _INFER_CHUNK, *x.shape[1:]),
-            (vids, hits.bary, dirs, safe_face),
+            (vids, bary, dirs, safe_face),
         )
 
         def infer(args):
@@ -177,7 +187,7 @@ class Renderer:
         preds = lax.map(infer, chunked).reshape(-1, 3)[:Lpad]
         # f16 on the wire: halves device->host traffic; quantization is
         # ~5e-4 in [0,1] rgb, far below the 8-bit image grid.
-        return preds.astype(jnp.float16), hits.valid
+        return preds.astype(jnp.float16), valid
 
     def render(
         self,
@@ -187,10 +197,17 @@ class Renderer:
         eval_render=False,
         distortion_coeffs=None,
         distortion_type=None,
+        cache_key=None,
     ):
         """Render one view. Returns an [H,W,3] float32 numpy image, or
         (image, hit_ray_idxs) when eval_render=True (reference renderer.py:64-146).
-        hit_ray_idxs indexes the masked-pixel array (all pixels if no mask)."""
+        hit_ray_idxs indexes the masked-pixel array (all pixels if no mask).
+
+        cache_key: optional hashable identifying this (camera, mask) view —
+        the ray trace is geometry-only and gets reused across renders of the
+        same view (e.g. the trainer's TensorBoard views each epoch); only the
+        model inference reruns. The cache is invalidated on geometry changes.
+        """
         H, W = self.H, self.W
         if obj_mask_1d is not None:
             obj_mask_1d = np.asarray(obj_mask_1d).reshape(-1)
@@ -211,23 +228,29 @@ class Renderer:
         pad = Lpad - L
         pix_idx_pad = np.pad(pix_idx, (0, pad), mode="edge")
 
-        if distortion_type is not None:
-            assert distortion_coeffs is not None
-            if distortion_type != DistortionTypes.MESHROOM_RADIAL_K3:
-                raise ValueError(f"Unknown distortion type: {distortion_type}")
-            coords = np.stack(
-                [pix_idx_pad % W, pix_idx_pad // W], axis=-1
-            ).astype(np.float64)
-            coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
-            preds, valid = self._pipeline_coords(
-                self.variables, self.features, coords.astype(np.float32),
-                np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
-            )
-        else:
-            preds, valid = self._pipeline_idx(
-                self.variables, self.features, pix_idx_pad,
-                np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
-            )
+        trace = self._trace_cache.get(cache_key) if cache_key is not None else None
+        if trace is None:
+            if distortion_type is not None:
+                assert distortion_coeffs is not None
+                if distortion_type != DistortionTypes.MESHROOM_RADIAL_K3:
+                    raise ValueError(f"Unknown distortion type: {distortion_type}")
+                coords = np.stack(
+                    [pix_idx_pad % W, pix_idx_pad // W], axis=-1
+                ).astype(np.float64)
+                coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
+                trace = self._trace_coords(
+                    coords.astype(np.float32),
+                    np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
+                )
+            else:
+                trace = self._trace_idx(
+                    pix_idx_pad,
+                    np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
+                )
+            if cache_key is not None:
+                self._trace_cache[cache_key] = trace
+
+        preds, valid = self._infer(self.variables, self.features, trace)
         preds_m = np.asarray(preds[:L], dtype=np.float32)
         valid_m = np.asarray(valid[:L])
         preds = np.empty_like(preds_m)

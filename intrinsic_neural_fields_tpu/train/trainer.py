@@ -170,7 +170,11 @@ class Trainer:
     def _render_view_for_tensorboard(self, input_path, img_name, epoch):
         obj_mask_1d = load_obj_mask_as_numpy(input_path).reshape(-1)
         camCv2world, K = load_cameras(input_path)
-        rendered_img = self.renderer.render(camCv2world, K, obj_mask_1d=obj_mask_1d)
+        # cache_key: the ray trace of a fixed vis view is identical every
+        # epoch — only the MLP inference reruns.
+        rendered_img = self.renderer.render(
+            camCv2world, K, obj_mask_1d=obj_mask_1d, cache_key=input_path
+        )
 
         gt_img = imread(os.path.join(input_path, "image", "000.png")).astype(np.float32) / 255.0
         shape = gt_img.shape
@@ -193,6 +197,7 @@ class Trainer:
                 item["K"],
                 distortion_coeffs=item["distortion_params"],
                 distortion_type=item["distortion_type"],
+                cache_key=f"meshroom_vis_{idx}",
             )
             self.write_vis_metrics_to_tensorboard(
                 f"meshroom_radial_k3_view_{idx}", rendered, item["img"], item["obj_mask_1d"], epoch
