@@ -35,7 +35,7 @@ def _corner_cot(a, b, c):
     return (b2 + c2 - a2) / area4
 
 
-def intrinsic_delaunay(faces, lengths, max_flips=None):
+def intrinsic_delaunay(faces, lengths, max_flips=None, backend="auto"):
     """Flip to the intrinsic Delaunay triangulation.
 
     Args:
@@ -43,8 +43,17 @@ def intrinsic_delaunay(faces, lengths, max_flips=None):
       lengths: [F,3] float edge lengths, lengths[f,i] = |edge OPPOSITE corner i|
         (i.e. edge (i+1, i+2) of face f), e.g. from laplacian._edge_lengths
         after mollification.
-    Returns (faces_new [F,3], lengths_new [F,3]) with the same convention.
+      backend: "auto" uses the C++ core (native/idt.cpp, auto-built) when a
+        compiler is available and this Python implementation otherwise;
+        "python"/"native" force one. Both produce the same triangulation.
+    Returns (faces_new [F,3], lengths_new [F,3], n_flips).
     """
+    if backend in ("auto", "native"):
+        out = _intrinsic_delaunay_native(faces, lengths, max_flips)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native iDT backend unavailable (no compiler?)")
     F = faces.shape[0]
     H = 3 * F
     # halfedge h in face f=h//3, corner slot s=h%3: runs from vertex
@@ -161,6 +170,34 @@ def intrinsic_delaunay(faces, lengths, max_flips=None):
         f += 1
     assert f == F
     return faces_new, lengths_new, flips
+
+
+def _intrinsic_delaunay_native(faces, lengths, max_flips=None):
+    """C++ flip core (ctypes). Returns None when the native lib is missing."""
+    import ctypes
+
+    from ..native import load_idt
+
+    lib = load_idt()
+    if lib is None:
+        return None
+    faces_c = np.ascontiguousarray(faces, dtype=np.int64)
+    lengths_c = np.ascontiguousarray(lengths, dtype=np.float64)
+    F = faces_c.shape[0]
+    faces_out = np.empty_like(faces_c)
+    lengths_out = np.empty_like(lengths_c)
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    flips = lib.idt_flip(
+        F,
+        p(faces_c, ctypes.c_int64),
+        p(lengths_c, ctypes.c_double),
+        p(faces_out, ctypes.c_int64),
+        p(lengths_out, ctypes.c_double),
+        0 if max_flips is None else int(max_flips),
+    )
+    if flips < 0:
+        raise RuntimeError("native iDT reported a broken halfedge structure")
+    return faces_out.astype(faces.dtype), lengths_out.astype(lengths.dtype), int(flips)
 
 
 def build_double_cover(faces, lengths):

@@ -1,0 +1,53 @@
+"""Native (C++) runtime components, loaded through ctypes.
+
+Each module here has a pure-Python reference implementation elsewhere in the
+package; the native build is an optimization, auto-compiled on first use when
+a compiler is available and skipped (with the Python fallback) otherwise.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(__file__)
+
+
+def _build(src_name, lib_name):
+    src = os.path.join(_DIR, src_name)
+    lib = os.path.join(_DIR, lib_name)
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return lib
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+           "-o", lib, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        raise RuntimeError(f"native build failed: {e}")
+    return lib
+
+
+_idt_lib = None
+
+
+def load_idt():
+    """ctypes handle to the intrinsic-Delaunay flip core, or None if the
+    native build is unavailable."""
+    global _idt_lib
+    if _idt_lib is not None:
+        return _idt_lib
+    try:
+        lib = ctypes.CDLL(_build("idt.cpp", "libidt.so"))
+    except (RuntimeError, OSError):
+        return None
+    lib.idt_flip.restype = ctypes.c_int64
+    lib.idt_flip.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+    ]
+    _idt_lib = lib
+    return lib

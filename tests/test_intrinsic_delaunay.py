@@ -84,3 +84,37 @@ def test_sphere_spectrum_preserved_under_idt():
     evals, _ = solve_generalized_eigenproblem(L, M, 9, method="shift_invert")
     analytic = [0.0] + [2.0] * 3 + [6.0] * 5
     np.testing.assert_allclose(evals, analytic, atol=0.3)
+
+
+def test_native_backend_matches_python():
+    """The C++ flip core must produce the same triangulation (same assembled
+    operator) as the Python reference implementation."""
+    import pytest
+
+    from intrinsic_neural_fields_tpu.geometry.laplacian import (
+        _edge_lengths,
+        _mollify_lengths,
+        cotan_laplacian_from_lengths,
+    )
+    from intrinsic_neural_fields_tpu.geometry.intrinsic_delaunay import (
+        build_double_cover,
+    )
+    from intrinsic_neural_fields_tpu.native import load_idt
+
+    if load_idt() is None:
+        pytest.skip("no compiler available for the native backend")
+
+    rng = np.random.default_rng(0)
+    m = grid_mesh(20)
+    v = m.vertices.copy()
+    v[:, :2] += rng.normal(scale=0.01, size=(v.shape[0], 2))
+    l = _mollify_lengths(_edge_lengths(v, m.faces))
+    fc, lc = build_double_cover(m.faces.astype(np.int64), l)
+
+    f_py, l_py, n_py = intrinsic_delaunay(fc, lc, backend="python")
+    f_na, l_na, n_na = intrinsic_delaunay(fc, lc, backend="native")
+    assert n_py == n_na
+    n = v.shape[0]
+    L_py = cotan_laplacian_from_lengths(f_py, l_py, n)
+    L_na = cotan_laplacian_from_lengths(f_na, l_na, n)
+    assert abs(L_py - L_na).max() < 1e-9
