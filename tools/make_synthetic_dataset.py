@@ -59,8 +59,13 @@ def look_at_cam(eye, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
     ).astype(np.float32)
 
 
-def render_gt_view(mesh, cam, K, H, W):
-    """Float64 oracle render: (img [H,W,3] f32, mask [H,W] bool)."""
+def render_gt_view(mesh, cam, K, H, W, tracer="host"):
+    """GT render: (img [H,W,3] f32, mask [H,W] bool).
+
+    tracer="host" uses the float64 oracle (independent of the device path
+    under test); "device" uses the XLA tracer (bit-exactness vs the oracle is
+    covered by tests) — orders of magnitude faster for large meshes/images.
+    """
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     coords = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.float64)
     Kinv = np.linalg.inv(K[:3, :3].astype(np.float64))
@@ -69,7 +74,33 @@ def render_gt_view(mesh, cam, K, H, W):
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     origins = np.broadcast_to(cam[:3, 3].astype(np.float64), dirs.shape)
 
-    t, face_idx, bary, valid = intersect_rays_numpy(mesh.vertices, mesh.faces, origins, dirs)
+    if tracer == "device":
+        import jax.numpy as jnp
+
+        from intrinsic_neural_fields_tpu.ops.intersect import intersect_rays
+        from intrinsic_neural_fields_tpu.ops.morton import (
+            face_morton_order,
+            pixel_morton_order,
+        )
+
+        order = face_morton_order(mesh.vertices, mesh.faces)
+        mo = pixel_morton_order(coords.astype(np.int64))
+        hits = intersect_rays(
+            jnp.asarray(mesh.vertices, jnp.float32),
+            jnp.asarray(mesh.faces[order]),
+            jnp.asarray(origins[mo], jnp.float32),
+            jnp.asarray(dirs[mo], jnp.float32),
+        )
+        face_idx = np.empty(H * W, np.int64)
+        bary = np.empty((H * W, 3))
+        valid = np.empty(H * W, bool)
+        face_idx[mo] = order[np.maximum(np.asarray(hits.face_idx), 0)]
+        bary[mo] = np.asarray(hits.bary)
+        valid[mo] = np.asarray(hits.valid)
+    else:
+        t, face_idx, bary, valid = intersect_rays_numpy(
+            mesh.vertices, mesh.faces, origins, dirs
+        )
     img = np.ones((H * W, 3), dtype=np.float32)
     pts = np.einsum("bj,bjk->bk", bary[valid], mesh.vertices[mesh.faces[face_idx[valid]]])
     img[valid] = procedural_texture(pts).astype(np.float32)
@@ -98,6 +129,7 @@ def make_dataset(
     n_vis=2,
     subdivisions=4,
     seed=0,
+    tracer="host",
 ):
     """Returns (mesh_path, dataset_dir). Splits: train/val/test + vis views."""
     os.makedirs(out_dir, exist_ok=True)
@@ -127,7 +159,7 @@ def make_dataset(
         os.makedirs(os.path.join(vdir, "depth"), exist_ok=True)
         os.makedirs(os.path.join(vdir, "image"), exist_ok=True)
 
-        img, mask = render_gt_view(mesh, cam, K, H, W)
+        img, mask = render_gt_view(mesh, cam, K, H, W, tracer=tracer)
         np.savez(
             os.path.join(vdir, "depth", "cameras.npz"), world_mat_0=cam, camera_mat_0=K
         )
@@ -158,7 +190,8 @@ if __name__ == "__main__":
     p.add_argument("--W", type=int, default=128)
     p.add_argument("--n_train", type=int, default=10)
     p.add_argument("--subdivisions", type=int, default=4)
+    p.add_argument("--tracer", type=str, default="host", choices=("host", "device"))
     args = p.parse_args()
     make_dataset(args.out_dir, H=args.H, W=args.W, n_train=args.n_train,
-                 subdivisions=args.subdivisions)
+                 subdivisions=args.subdivisions, tracer=args.tracer)
     print(f"Synthetic dataset written to {args.out_dir}")
