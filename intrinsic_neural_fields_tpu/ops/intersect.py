@@ -253,14 +253,20 @@ def intersect_rays(
                 & (u + v <= 1.0 + B_EPS)
             )
             tm = jnp.where(hit, t, inf)
-            j = jnp.argmin(tm, axis=1)                     # [rt]
-            rows = jnp.arange(tm.shape[0])
-            t_tile = tm[rows, j]
+            # Nearest hit via reductions + a first-winner mask: argmin with
+            # advanced indexing lowers to gathers, ~4x slower on TPU.
+            t_tile = jnp.min(tm, axis=1)                   # [rt]
+            best = tm == t_tile[:, None]
+            cols = lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+            j = jnp.min(jnp.where(best, cols, face_tile), axis=1)
+            first = best & (cols == j[:, None])
+            u_tile = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+            v_tile = jnp.sum(jnp.where(first, v, 0.0), axis=1)
             better = t_tile < best_t
             best_t = jnp.where(better, t_tile, best_t)
-            best_f = jnp.where(better, s + j.astype(jnp.int32), best_f)
-            best_u = jnp.where(better, u[rows, j], best_u)
-            best_v = jnp.where(better, v[rows, j], best_v)
+            best_f = jnp.where(better, s.astype(jnp.int32) + j, best_f)
+            best_u = jnp.where(better, u_tile, best_u)
+            best_v = jnp.where(better, v_tile, best_v)
             return best_t, best_f, best_u, best_v
 
         rt = o.shape[0]
