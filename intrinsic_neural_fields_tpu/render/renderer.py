@@ -113,9 +113,11 @@ class Renderer:
 
     def set_height(self, height):
         self.H = height
+        self._trace_cache.clear()  # cached traces are resolution-dependent
 
     def set_width(self, width):
         self.W = width
+        self._trace_cache.clear()
 
     def apply_mesh_transform(self, transform):
         self.mesh.apply_transform(transform)
