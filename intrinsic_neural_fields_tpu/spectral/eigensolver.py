@@ -33,15 +33,34 @@ def _as_diag_array(M):
     return d
 
 
+def _arpack_start_vector(n, seed=0):
+    """Deterministic, generic ARPACK starting vector.
+
+    ARPACK without v0 starts from a random vector, so the computed eigenbasis
+    (a preprocessing artifact) differs run to run, and on degenerate spectra
+    (sphere multiplicities) an unlucky start occasionally misconverges to a
+    duplicated eigenvalue. A seeded dense random vector is deterministic and
+    generic (nonzero component along every eigendirection with probability 1).
+    Note all-ones would be the WORST choice here: it is M-orthogonal to every
+    non-constant LBO eigenfunction.
+    """
+    return np.random.RandomState(seed).uniform(-1.0, 1.0, n)
+
+
 def _shift_invert(L, M, k):
+    n = L.shape[0]
+    v0 = _arpack_start_vector(n)
+    # Raise the Lanczos-basis floor from ARPACK's default 20 so small-k solves
+    # on degenerate spectra have room to resolve eigenvalue multiplicities.
+    ncv = min(n, max(2 * k + 1, 64))
     try:
-        evals, evecs = sla.eigsh(L, k, M, sigma=0, which="LM")
+        evals, evecs = sla.eigsh(L, k, M, sigma=0, which="LM", v0=v0, ncv=ncv)
     except RuntimeError as e:
         if len(e.args) == 1 and e.args[0] == "Factor is exactly singular":
             # Badly conditioned stiffness matrix: nudge the diagonal
             # (reference mesh.py:141-149).
             L = L + 1e-10 * sparse.eye(L.shape[0])
-            evals, evecs = sla.eigsh(L, k, M, sigma=0, which="LM")
+            evals, evecs = sla.eigsh(L, k, M, sigma=0, which="LM", v0=v0, ncv=ncv)
         else:
             raise
     order = np.argsort(evals)
