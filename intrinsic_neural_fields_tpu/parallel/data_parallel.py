@@ -8,13 +8,21 @@ the jitted epoch, so every device applies the identical Adam update and params
 stay replicated with no explicit broadcast.
 
 Sharding layout per epoch:
-  - the epoch permutation [num_batches * B] is sharded along "data": device d
-    owns a contiguous [num_batches * B/D] block and steps through it in
-    B/D-sized slices. Because the permutation is uniform, contiguous blocks
-    are themselves uniform samples — statistically identical to the
-    single-device loader (batch composition differs at equal seed).
-  - feature matrix + hit records are replicated (they are small relative to
-    HBM; sharding them over the batch axis is pointless for gathers).
+  - full-shuffle (gather) mode: the epoch permutation [num_batches * B] is
+    sharded along "data": device d owns a contiguous [num_batches * B/D]
+    block and steps through it in B/D-sized slices. Because the permutation
+    is uniform, contiguous blocks are themselves uniform samples —
+    statistically identical to the single-device loader (batch composition
+    differs at equal seed). Hit records stay replicated here (gather indices
+    are global). A ragged tail (train_drop_last: false) is padded with
+    clamped indices and masked by position-derived weights; gradients are the
+    exact global weighted batch mean (psum of weighted sums / psum of counts).
+  - blocks (streaming) mode: every per-hit array INCLUDING the [N,k]
+    precomputed hit-feature table is sharded along the batch axis — device d
+    owns a contiguous 1/D block (uniform thanks to the load-time global
+    shuffle) and permutes the order of its own local blocks each epoch, so
+    the table's per-device HBM cost drops D-fold. Requires full blocks; a
+    ragged tail falls back to the gather path.
 """
 from __future__ import annotations
 
@@ -61,60 +69,144 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuff
             variables = {"params": params, "buffers": buffers}
         return model.apply(variables, batch)
 
+    def _replace_hits(data: RayData, fn):
+        take = lambda a: None if a is None else fn(a)
+        return RayData(
+            features=data.features,
+            feature_strategy=data.feature_strategy,
+            vertex_idxs_of_hit_faces=take(data.vertex_idxs_of_hit_faces),
+            barycentric_coords=take(data.barycentric_coords),
+            expected_rgbs=take(data.expected_rgbs),
+            unit_ray_dirs=take(data.unit_ray_dirs),
+            face_idxs=take(data.face_idxs),
+            hit_features=take(data.hit_features),
+        )
+
     @functools.partial(jax.jit, static_argnames=("num_batches", "batch_size"), donate_argnums=(0,))
     def train_epoch(state: TrainState, key, data: RayData, num_batches: int, batch_size: int):
         assert batch_size % D == 0, f"batch_size {batch_size} not divisible by {D} devices"
         local_b = batch_size // D
-        use_blocks = shuffle == "blocks" and data.hit_features is not None
+        n = data.n
         n_used = num_batches * batch_size
+        assert n_used <= n or num_batches == -(-n // batch_size), (
+            f"num_batches {num_batches} inconsistent with n={n}, batch={batch_size}"
+        )
+        has_tail = n_used > n
+        # Streaming block slices require full blocks; a ragged tail falls back
+        # to the weighted gather path (mirrors train/steps.py's guard — a
+        # clamped dynamic_slice would silently re-read overlapping rows).
+        use_blocks = (
+            shuffle == "blocks" and data.hit_features is not None and not has_tail
+        )
+
+        def step_body(carry, batch, w, state):
+            """One optimizer step on a per-device batch with row weights w.
+            Global-batch gradient = psum(weighted shard sums) / psum(weights)."""
+            params, opt_state, acc_loss, acc_sq, acc_n = carry
+            gt = batch["expected_rgbs"]
+            n_b = lax.psum(jnp.sum(w), axis_name)
+
+            def loss_of(p):
+                if getattr(model, "computes_loss", False):
+                    # Self-loss models (NeuTex) compute their own batch-mean
+                    # loss; shard means are pmean'd (clamped tail duplicates
+                    # slightly overweight rows in that rare combination, same
+                    # caveat as the single-device path).
+                    variables = {"params": p}
+                    if state.buffers:
+                        variables["buffers"] = state.buffers
+                    loss, pred = model.apply(variables, batch, method=model.loss_and_rgbs)
+                    return loss * (jnp.sum(w) / n_b) * D, pred
+                pred = _forward(p, state.buffers, batch)
+                per_sample = jnp.mean(loss_elem(pred, gt), axis=-1)
+                return jnp.sum(per_sample * w) * (D / n_b), pred
+
+            (loss_term, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            # loss_of returns D * (local weighted sum / global count), so the
+            # pmean (= psum / D) of values and grads is the global batch mean.
+            grads = lax.pmean(grads, axis_name)
+            loss = lax.pmean(loss_term, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            acc_loss = acc_loss + loss * n_b
+            acc_sq = acc_sq + lax.psum(jnp.sum(jnp.sum((pred - gt) ** 2, axis=-1) * w), axis_name)
+            return (params, opt_state, acc_loss, acc_sq, acc_n + n_b)
+
+        def finish(carry, state):
+            params, opt_state, acc_loss, acc_sq, acc_n = carry
+            metrics = {"loss": acc_loss / acc_n, "sq_err_per_sample": acc_sq / acc_n}
+            return TrainState(params, state.buffers, opt_state, state.batch_stats), metrics
+
+        init_carry = lambda state: (
+            state.params, state.opt_state,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        )
+        dev_ids = jnp.arange(D, dtype=jnp.int32)
+
         if use_blocks:
-            block_order = jax.random.permutation(key, num_batches)
-            perm = jnp.tile(block_order, D)  # dummy shardable carrier
+            # Shard every per-hit array (incl. the [N,k] hit_features table —
+            # the big HBM consumer) along the batch axis: device d owns a
+            # contiguous n_used/D-row block, uniform thanks to the load-time
+            # global shuffle, and permutes the order of ITS OWN local_b-sized
+            # blocks each epoch. Per-device HBM for the table drops D-fold.
+            data = _replace_hits(data, lambda a: a[:n_used])
+            data_spec = RayData(
+                features=P(),
+                feature_strategy=data.feature_strategy,
+                vertex_idxs_of_hit_faces=P(axis_name),
+                barycentric_coords=P(axis_name),
+                expected_rgbs=P(axis_name),
+                unit_ray_dirs=None if data.unit_ray_dirs is None else P(axis_name),
+                face_idxs=None if data.face_idxs is None else P(axis_name),
+                hit_features=P(axis_name),
+            )
+
+            def shard_fn(state, key, data, dev_ids):
+                dev = dev_ids[0]
+                block_order = jax.random.permutation(
+                    jax.random.fold_in(key, dev), num_batches
+                )
+
+                def step(carry, i):
+                    batch = slice_batch(data, block_order[i] * local_b, local_b)
+                    w = jnp.ones((local_b,), jnp.float32)
+                    return step_body(carry, batch, w, state), None
+
+                carry, _ = lax.scan(step, init_carry(state), jnp.arange(num_batches))
+                return finish(carry, state)
+
+            return shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), data_spec, P(axis_name)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state, key, data, dev_ids)
+
+        # Gather path: a fresh global permutation, sharded contiguously; a
+        # ragged tail (train_drop_last: false) is padded with clamped indices
+        # and masked by position-derived weights.
+        perm = jax.random.permutation(key, n)
+        if has_tail:
+            perm = jnp.concatenate([perm, jnp.zeros(n_used - n, perm.dtype)])
         else:
-            perm = jax.random.permutation(key, data.n)[:n_used]
+            perm = perm[:n_used]
+        per_dev = n_used // D
 
         def shard_fn(state, perm_local, data, dev_ids):
             dev = dev_ids[0]
 
             def step(carry, i):
-                params, opt_state, acc_loss, acc_sq = carry
-                if use_blocks:
-                    start = perm_local[i] * batch_size + dev * local_b
-                    batch = slice_batch(data, start, local_b)
-                else:
-                    idx = lax.dynamic_slice(perm_local, (i * local_b,), (local_b,))
-                    batch = gather_batch(data, idx)
-                gt = batch["expected_rgbs"]
+                idx = lax.dynamic_slice(perm_local, (i * local_b,), (local_b,))
+                global_pos = dev * per_dev + i * local_b + jnp.arange(local_b)
+                w = (global_pos < n).astype(jnp.float32)
+                batch = gather_batch(data, idx)
+                return step_body(carry, batch, w, state), None
 
-                def loss_of(p):
-                    if getattr(model, "computes_loss", False):
-                        variables = {"params": p}
-                        if state.buffers:
-                            variables["buffers"] = state.buffers
-                        return model.apply(variables, batch, method=model.loss_and_rgbs)
-                    pred = _forward(p, state.buffers, batch)
-                    return jnp.mean(loss_elem(pred, gt)), pred
+            carry, _ = lax.scan(step, init_carry(state), jnp.arange(num_batches))
+            return finish(carry, state)
 
-                (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-                # Global-batch gradient: mean of equal-sized shard means.
-                grads = lax.pmean(grads, axis_name)
-                loss = lax.pmean(loss, axis_name)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-
-                acc_loss = acc_loss + loss * batch_size
-                acc_sq = acc_sq + lax.psum(jnp.sum((pred - gt) ** 2), axis_name)
-                return (params, opt_state, acc_loss, acc_sq), None
-
-            init = (state.params, state.opt_state, jnp.float32(0.0), jnp.float32(0.0))
-            (params, opt_state, acc_loss, acc_sq), _ = lax.scan(
-                step, init, jnp.arange(num_batches)
-            )
-            total = num_batches * batch_size
-            metrics = {"loss": acc_loss / total, "sq_err_per_sample": acc_sq / total}
-            return TrainState(params, state.buffers, opt_state, state.batch_stats), metrics
-
-        dev_ids = jnp.arange(D, dtype=jnp.int32)
         return shard_map(
             shard_fn,
             mesh=mesh,
