@@ -13,6 +13,7 @@ to the next multiple of a bucket size; jit caches one executable per bucket.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 import numpy as np
 import jax
@@ -28,6 +29,9 @@ from ..ops.ray_gen import pixel_grid_coords, ray_origins_and_directions
 
 _PAD_BUCKET = 1 << 15      # rays are padded to a multiple of this
 _INFER_CHUNK = 1 << 13     # model/feature-gather chunk inside the jit
+_TRACE_CACHE_MAX = 8       # LRU bound: device arrays per cached trace are
+                           # ~Lpad*(3+3+3+1+1)*4B; unbounded growth over a
+                           # long render_video session would accumulate HBM
 
 
 def make_renderer_with_trained_model(config, weights_name="model.ckpt"):
@@ -108,8 +112,10 @@ class Renderer:
         self._trace_idx = jax.jit(self._trace_from_indices)
         self._trace_coords = jax.jit(self._trace_from_coords)
         self._infer = jax.jit(self._infer_impl)
-        # Geometry-dependent per-view trace cache (see render(cache_key=...)).
-        self._trace_cache = {}
+        # Geometry-dependent per-view trace cache, LRU-bounded and keyed on
+        # (cache_key, H, W) so a resolution change can never serve a stale
+        # trace even without the explicit clears (see render(cache_key=...)).
+        self._trace_cache = OrderedDict()
 
     def set_height(self, height):
         self.H = height
@@ -134,16 +140,18 @@ class Renderer:
         assert self.feature_strategy == "efuncs"
         self.features = jnp.asarray(eigenfunctions, jnp.float32)
 
-    def _rays_from_indices(self, pix_idx, camCv2world, K):
+    def _rays_from_indices(self, pix_idx, camCv2world, K, width):
         """Pixel indices -> rays on device (halves the host->device traffic
-        vs shipping float coords; ray gen is traced anyway)."""
-        x = (pix_idx % self.W).astype(jnp.float32)
-        y = (pix_idx // self.W).astype(jnp.float32)
+        vs shipping float coords; ray gen is traced anyway). width is a
+        traced argument — reading self.W here would bake the construction-time
+        value into the jitted executable and survive set_width()."""
+        x = (pix_idx % width).astype(jnp.float32)
+        y = (pix_idx // width).astype(jnp.float32)
         coords = jnp.stack([x, y], axis=-1)
         return ray_origins_and_directions(camCv2world, K, coords)
 
-    def _trace_from_indices(self, pix_idx, camCv2world, K):
-        origins, dirs = self._rays_from_indices(pix_idx, camCv2world, K)
+    def _trace_from_indices(self, pix_idx, camCv2world, K, width):
+        origins, dirs = self._rays_from_indices(pix_idx, camCv2world, K, width)
         return self._trace_impl(origins, dirs)
 
     def _trace_from_coords(self, coords, camCv2world, K):
@@ -230,7 +238,11 @@ class Renderer:
         pad = Lpad - L
         pix_idx_pad = np.pad(pix_idx, (0, pad), mode="edge")
 
-        trace = self._trace_cache.get(cache_key) if cache_key is not None else None
+        full_key = None if cache_key is None else (cache_key, H, W)
+        trace = None
+        if full_key is not None and full_key in self._trace_cache:
+            trace = self._trace_cache[full_key]
+            self._trace_cache.move_to_end(full_key)
         if trace is None:
             if distortion_type is not None:
                 assert distortion_coeffs is not None
@@ -248,9 +260,12 @@ class Renderer:
                 trace = self._trace_idx(
                     pix_idx_pad,
                     np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
+                    np.int32(W),
                 )
-            if cache_key is not None:
-                self._trace_cache[cache_key] = trace
+            if full_key is not None:
+                self._trace_cache[full_key] = trace
+                while len(self._trace_cache) > _TRACE_CACHE_MAX:
+                    self._trace_cache.popitem(last=False)
 
         preds, valid = self._infer(self.variables, self.features, trace)
         preds_m = np.asarray(preds[:L], dtype=np.float32)
