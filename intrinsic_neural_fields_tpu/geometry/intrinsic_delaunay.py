@@ -9,12 +9,15 @@ resulting operator is an M-matrix (non-positive off-diagonals), which the raw
 cotan Laplacian of a bad triangulation is not.
 
 This module implements the flip algorithm on a halfedge structure driven by
-edge LENGTHS only. Edges that are not manifold (not exactly two incident
-halfedges) are left unflipped — for manifold meshes this is the full
-algorithm; for triangle soups (e.g. point-cloud local triangulations) it is
-the manifold-interior part, with mollification covering the rest. (The
-tufted-cover construction that manifoldizes arbitrary soups is a possible
-extension.)
+edge LENGTHS only, plus `build_double_cover`, the tufted double cover that
+manifoldizes arbitrary soups: after the cover, EVERY edge has exactly two
+incident halfedges and is flippable, so boundary and nonmanifold inputs
+(e.g. point-cloud local triangulations) get the full algorithm, not just its
+manifold-interior part. Within the flip driver itself, edges that still are
+not manifold (possible only without the cover) are left unflipped. The
+greedy twin pairing picks one valid gluing of the cover; Sharp & Crane's
+ordering around a nonmanifold edge can differ, which may change individual
+flips but not the resulting operator's M-matrix property.
 """
 from __future__ import annotations
 

@@ -12,12 +12,16 @@ computes. Both matrices have diagonal mass, which the spectral layer exploits
 to reduce the generalized eigenproblem to a standard symmetric one for the
 on-device solver.
 
-The "robust" variant implements intrinsic mollification from Sharp & Crane,
-"A Laplacian for Nonmanifold Triangle Meshes" (2020): edge lengths are
-perturbed so every triangle satisfies the triangle inequality with slack
-delta, and the cotan weights are computed from the mollified *intrinsic*
-lengths. (The full tufted-cover construction for nonmanifold inputs is a
-planned extension; for manifold meshes mollification is the active part.)
+The "robust" variant implements the full construction of Sharp & Crane,
+"A Laplacian for Nonmanifold Triangle Meshes" (2020): intrinsic
+mollification (edge lengths perturbed so every triangle satisfies the
+triangle inequality with slack delta), the tufted double cover (faces
+duplicated with reversed orientation and glued so every edge becomes
+interior — see intrinsic_delaunay.build_double_cover; as in the paper, the
+cover's VERTEX set is exactly the original vertices, only edges/faces are
+doubled, so operators stay indexed by input vertices and are halved), and
+intrinsic Delaunay edge flips, yielding an M-matrix even on meshes with
+boundary, skinny triangles, or nonmanifold edges. See robust_laplacian().
 """
 from __future__ import annotations
 

@@ -11,10 +11,11 @@ soup covering the surface, which is exactly what the downstream pipeline
 needs: ray intersection targets and vertex triples for barycentric
 eigenfeature interpolation.
 
-`point_cloud_laplacian` assembles an intrinsically-mollified cotan Laplacian
-over that (generally nonmanifold) local triangulation with a barycentric
-lumped mass — the same family of operators as Sharp & Crane's point-cloud
-Laplacian (theirs adds the tufted-cover construction; planned extension).
+`point_cloud_laplacian` runs the full Sharp & Crane robust construction
+(intrinsic mollification + tufted double cover + intrinsic Delaunay flips,
+see geometry/laplacian.robust_laplacian) over that generally nonmanifold
+local triangulation — matching robust_laplacian.point_cloud_laplacian's
+"tufted" operator (reference mesh.py:129-133).
 """
 from __future__ import annotations
 

@@ -118,3 +118,64 @@ def test_native_backend_matches_python():
     L_py = cotan_laplacian_from_lengths(f_py, l_py, n)
     L_na = cotan_laplacian_from_lengths(f_na, l_na, n)
     assert abs(L_py - L_na).max() < 1e-9
+
+
+def test_robust_laplacian_on_bowtie_nonmanifold():
+    """The regime Sharp & Crane exists for: a nonmanifold vertex+edge 'bowtie'
+    of two triangle fans sharing geometry. The robust operator must stay an
+    M-matrix with positive mass and a sane spectrum (lambda_0 ~ 0, then
+    positive, no NaNs); the raw cotan operator need not."""
+    import scipy.sparse as sparse
+    from intrinsic_neural_fields_tpu.spectral.eigensolver import (
+        solve_generalized_eigenproblem,
+    )
+
+    # two squares meeting only at vertex 0 (nonmanifold vertex), plus a fin
+    # face re-using edge (0,1) a third time (nonmanifold edge)
+    v = np.array(
+        [
+            [0, 0, 0],
+            [1, 0, 0], [1, 1, 0], [0, 1, 0],          # square A
+            [-1, 0, 0], [-1, -1, 0], [0, -1, 0],      # square B
+            [0.5, 0.2, 0.8],                          # fin apex
+        ],
+        dtype=np.float64,
+    )
+    f = np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 4, 5], [0, 5, 6], [0, 1, 7]],
+        dtype=np.int64,
+    )
+    L, M = robust_laplacian(v, f)
+    off = (L - sparse.diags(L.diagonal())).toarray()
+    assert off.max() < 1e-10, "M-matrix property must survive nonmanifold input"
+    np.testing.assert_allclose(L @ np.ones(len(v)), 0.0, atol=1e-10)
+    assert M.diagonal().min() > 0
+
+    evals, evecs = solve_generalized_eigenproblem(L, M, 4, method="dense")
+    assert np.all(np.isfinite(evals)) and np.all(np.isfinite(evecs))
+    assert abs(evals[0]) < 1e-8
+    assert np.all(np.diff(evals) >= -1e-10) and evals[-1] > 1e-6
+
+
+def test_robust_laplacian_on_open_grid_boundary():
+    """Open (boundary) mesh: the tufted double cover makes boundary edges
+    interior, so the operator is an M-matrix and the spectrum matches the
+    flat square's Neumann eigenvalues pi^2 (m^2+n^2)."""
+    import scipy.sparse as sparse
+    from intrinsic_neural_fields_tpu.spectral.eigensolver import (
+        solve_generalized_eigenproblem,
+    )
+
+    m = grid_mesh(24)
+    L, M = robust_laplacian(m.vertices, m.faces)
+    off = (L - sparse.diags(L.diagonal())).toarray()
+    assert off.max() < 1e-10
+    assert M.diagonal().min() > 0
+    # total mass ~ area 1 (cover is halved back)
+    np.testing.assert_allclose(M.diagonal().sum(), 1.0, rtol=1e-6)
+
+    evals, _ = solve_generalized_eigenproblem(L, M, 5, method="shift_invert")
+    pi2 = np.pi ** 2
+    np.testing.assert_allclose(
+        evals, [0.0, pi2, pi2, 2 * pi2, 4 * pi2], rtol=0.03, atol=0.05
+    )
