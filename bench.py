@@ -56,8 +56,10 @@ def bench_ours(feats, vids, bary, rgbs, epochs=3):
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
     state = create_train_state(variables, optimizer)
     # Streaming pipeline: hit features precomputed once, per-epoch block
-    # shuffle, contiguous batch reads (see train/steps.py).
-    train_epoch, _ = make_epoch_fns(model, optimizer, "L1", shuffle="blocks")
+    # shuffle, contiguous batch reads (see train/steps.py), and the fused
+    # Pallas train step (one kernel per step; measured ~4-8% over the XLA
+    # step at this workload — see RESULTS.md).
+    train_epoch, _ = make_epoch_fns(model, optimizer, "L1", shuffle="blocks", fused=True)
 
     data = precompute_hit_features(
         RayData(

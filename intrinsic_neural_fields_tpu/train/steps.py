@@ -54,7 +54,24 @@ def create_train_state(variables, optimizer):
     )
 
 
-def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
+def fused_mlp_eligible(model):
+    """The fused Pallas step covers the plain TextureField configuration:
+    raw efuncs input (no encoder), ReLU activations, sigmoid RGB head, no
+    BatchNorm, MXU-aligned hidden width. Everything else uses the XLA path."""
+    from ..models.texture_field import TextureField
+
+    return (
+        type(model) is TextureField
+        and model.input_feature_embed in (None, "efuncs")
+        and not model.batchnorm
+        and model.activation == "relu"
+        and model.return_rgb
+        and model.out_dim == 3
+        and model.hidden_dim % 128 == 0
+    )
+
+
+def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
     """Build (train_epoch, val_epoch), both jitted.
 
     train_epoch(state, key, data, num_batches, batch_size)
@@ -70,8 +87,21 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
                  fixed batch-sized blocks; batches become contiguous
                  dynamic slices that stream at full HBM bandwidth instead of
                  row gathers. Requires precomputed hit features.
+    fused:
+      replace the per-step forward/backward/loss with ONE Pallas kernel
+      (ops/fused_mlp.make_fused_train_grads): the whole network runs inside
+      VMEM per batch tile — one HBM read of the batch, one kernel launch.
+      Requires fused_mlp_eligible(model) and full batches (a ragged tail
+      epoch silently uses the XLA path). Gradient numerics match the XLA
+      path's default TPU matmul precision (bf16 inputs, f32 accumulation).
     """
     assert shuffle in ("full", "blocks")
+    if fused:
+        assert fused_mlp_eligible(model), (
+            "training.fused_mlp requires the plain TextureField config: "
+            "efuncs input, relu, sigmoid RGB head, no batchnorm, hidden "
+            "width a multiple of 128"
+        )
     loss_elem = elementwise_loss(loss_type)
 
     def _forward(params, buffers, batch, batch_stats=None):
@@ -102,6 +132,45 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
         else:
             perm = jax.random.permutation(key, n)
 
+        # Fused Pallas step: needs full batches (the weighted-tail accounting
+        # lives in the XLA path); k_in is static at trace time.
+        use_fused = fused and not has_tail
+        if use_fused:
+            from ..ops.fused_mlp import (
+                FusedMLPSpec,
+                grads_to_flax,
+                make_fused_train_grads,
+                params_to_list,
+            )
+
+            k_in = data.features.shape[1]
+            spec = FusedMLPSpec(
+                num_layers=model.num_layers,
+                k_in=k_in,
+                hidden=model.hidden_dim,
+                skip_idx=model.skip_layer_idx,
+            )
+            tile = 1024 if batch_size % 1024 == 0 else batch_size
+            fused_run = make_fused_train_grads(spec, loss_type, batch_tile=tile)
+
+        def fused_step(carry, batch):
+            params, opt_state, batch_stats, acc_loss, acc_sq, acc_n = carry
+            x = batch["eigenfunctions"]
+            if x.dtype not in (jnp.bfloat16, jnp.float32):
+                x = x.astype(jnp.float32)
+            # bf16 hit features go into the kernel as-is (the matmuls ingest
+            # bf16 anyway) — no f32 copy of the batch materializes in HBM.
+            x = jnp.pad(x, ((0, 0), (0, spec.k_pad - k_in)))
+            wb = params_to_list(spec, params)
+            grad_list, loss_sum, sq_sum = fused_run(wb, x, batch["expected_rgbs"])
+            grads = grads_to_flax(spec, grad_list)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc_loss = acc_loss + loss_sum / 3.0  # loss_sum/(B*3) * B
+            acc_sq = acc_sq + sq_sum
+            acc_n = acc_n + jnp.float32(batch_size)
+            return (params, opt_state, batch_stats, acc_loss, acc_sq, acc_n)
+
         def step(carry, i):
             params, opt_state, batch_stats, acc_loss, acc_sq, acc_n = carry
             if use_blocks:
@@ -112,6 +181,8 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full"):
                 w = (pos < n).astype(jnp.float32)
                 idx = jnp.take(perm, jnp.minimum(pos, n - 1))
                 batch = gather_batch(data, idx)
+            if use_fused:
+                return fused_step(carry, batch), None
             gt = batch["expected_rgbs"]
             n_b = jnp.sum(w)
 

@@ -38,8 +38,10 @@ class Trainer:
 
         self.state = create_train_state(variables, optimizer)
         self.shuffle = config["training"].get("shuffle", "full")
+        self.fused_mlp = config["training"].get("fused_mlp", False)
         self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(
-            model, optimizer, loss_type, shuffle=self.shuffle
+            model, optimizer, loss_type, shuffle=self.shuffle,
+            fused=self.fused_mlp
         )
 
         self.use_lr_scheduler = config["training"].get("use_lr_scheduler", False)

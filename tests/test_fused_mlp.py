@@ -80,3 +80,70 @@ def test_unpadded_k_multiple_of_128():
     # kernel matmuls use bf16 operands (XLA TPU default); on the f32 CPU
     # reference this shows as ~1e-3 absolute differences
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_epoch_matches_flax_loss_curve():
+    """training.fused_mlp integration: a fused-step epoch loop must track the
+    XLA-step loop's loss curve (bf16-matmul numerics vs CPU f32 cause small
+    drift, not divergence)."""
+    import optax
+
+    from intrinsic_neural_fields_tpu.data.sampler import RayData
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        fused_mlp_eligible,
+        make_epoch_fns,
+    )
+
+    k, n = 32, 4096
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(300, k)).astype(np.float32)
+    vids = rng.integers(0, 300, size=(n, 3)).astype(np.int32)
+    bary = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    W = rng.normal(size=(k, 3)).astype(np.float32) * 0.3
+    interp = np.einsum("bj,bjk->bk", bary, feats[vids])
+    rgbs = (1.0 / (1.0 + np.exp(-(interp @ W)))).astype(np.float32)
+    data = RayData(
+        features=jnp.asarray(feats), feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(vids),
+        barycentric_coords=jnp.asarray(bary),
+        expected_rgbs=jnp.asarray(rgbs), unit_ray_dirs=None, face_idxs=None,
+    )
+
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    assert fused_mlp_eligible(model)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    curves = {}
+    for fused in (False, True):
+        tr, va = make_epoch_fns(model, optimizer, "L1", fused=fused)
+        state = create_train_state(copy(variables), optimizer)
+        losses = []
+        for e in range(6):
+            state, m = tr(state, jax.random.PRNGKey(e), data, 8, 512)
+            losses.append(float(jax.device_get(m["loss"])))
+        curves[fused] = (losses, va(state, data, 512))
+
+    l_flax, v_flax = curves[False]
+    l_fused, v_fused = curves[True]
+    assert l_fused[-1] < 0.7 * l_fused[0], l_fused
+    np.testing.assert_allclose(l_fused, l_flax, rtol=0.02)
+    np.testing.assert_allclose(
+        float(v_fused["loss"]), float(v_flax["loss"]), rtol=0.02
+    )
+
+
+def test_fused_requires_eligible_model():
+    import optax
+    import pytest
+
+    from intrinsic_neural_fields_tpu.train.steps import make_epoch_fns
+
+    cfg = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 64, "skip_layer_idx": 2}
+    model = make_model(cfg)  # hidden 64: not MXU-aligned
+    optimizer = optax.adam(1e-3)
+    with pytest.raises(AssertionError):
+        make_epoch_fns(model, optimizer, "L1", fused=True)
