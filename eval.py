@@ -19,6 +19,8 @@ def parse_args():
     parser.add_argument("split", type=str)
     parser.add_argument("--uv_mesh_path", type=str, default=None)
     parser.add_argument("--background", nargs="?", type=str, default="white")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard each render over a device mesh (ray axis)")
     return parser.parse_args()
 
 
@@ -34,7 +36,7 @@ def main():
 
     config = load_config(args.config_path)
     evaluate_views(args.output_path, config, args.dataset_path, args.split,
-                   background=args.background)
+                   background=args.background, n_devices=args.num_devices)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ from .metrics import dssim, psnr
 
 
 def evaluate_views(output_path, config, dataset_path, split, background="white",
-                   lpips_weights_path=None):
+                   lpips_weights_path=None, n_devices=None):
     H, W = config["data"]["img_height"], config["data"]["img_width"]
 
     dataset_type = config["data"].get("type")
@@ -32,7 +32,7 @@ def evaluate_views(output_path, config, dataset_path, split, background="white",
     else:
         raise NotImplementedError(f"Unknown dataset type: {dataset_type}")
 
-    renderer = make_renderer_with_trained_model(config)
+    renderer = make_renderer_with_trained_model(config, n_devices=n_devices)
     renderer.background = background
 
     lpips_fn = LPIPS() if lpips_weights_path is None else LPIPS(lpips_weights_path)

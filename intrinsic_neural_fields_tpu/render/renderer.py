@@ -18,7 +18,8 @@ from collections import OrderedDict
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
+from jax import lax, shard_map
+from jax.sharding import PartitionSpec as P
 
 from ..geometry.cameras import DistortionTypes, undistort_pixels_meshroom_radial_k3
 from ..geometry.mesh import load_mesh
@@ -34,8 +35,11 @@ _TRACE_CACHE_MAX = 8       # LRU bound: device arrays per cached trace are
                            # long render_video session would accumulate HBM
 
 
-def make_renderer_with_trained_model(config, weights_name="model.ckpt"):
-    """Rebuild a Renderer from a training out_dir (reference renderer.py:9-32)."""
+def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_devices=None):
+    """Rebuild a Renderer from a training out_dir (reference renderer.py:9-32).
+
+    n_devices: shard every render D-way over a device mesh (see Renderer's
+    mesh_devices); None = single device."""
     from ..models.factory import init_model, make_model
     from ..spectral.features import load_first_k_eigenfunctions
     from ..utils.checkpoint import load_checkpoint
@@ -59,6 +63,12 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt"):
     weights_path = os.path.join(config["training"]["out_dir"], weights_name)
     variables = load_checkpoint(weights_path, jax.device_get(template))
 
+    mesh_devices = None
+    if n_devices is not None and n_devices > 1:
+        from ..parallel.data_parallel import make_device_mesh
+
+        mesh_devices = make_device_mesh(n_devices)
+
     return Renderer(
         model,
         variables,
@@ -67,6 +77,7 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt"):
         feature_strategy=feature_strategy,
         H=config["data"]["img_height"],
         W=config["data"]["img_width"],
+        mesh_devices=mesh_devices,
     )
 
 
@@ -84,7 +95,21 @@ class Renderer:
         *,
         H,
         W,
+        mesh_devices=None,
+        shard_axis="data",
     ):
+        """mesh_devices: optional jax.sharding.Mesh. When given, tracing and
+        inference are shard_map'd over its `shard_axis`: every padded ray
+        bucket splits D ways (rays are embarrassingly parallel; geometry,
+        features and weights replicate), so a full-view render runs D-way
+        data-parallel over ICI (SURVEY §5 "shard the ray axis across chips").
+        Per-ray math is unchanged — output is bit-equal to single-device
+        (tested). _PAD_BUCKET is a multiple of any power-of-two D."""
+        self._mesh = mesh_devices
+        self._axis = shard_axis
+        if mesh_devices is not None:
+            D = int(np.prod(mesh_devices.devices.shape))
+            assert _PAD_BUCKET % D == 0, (D, _PAD_BUCKET)
         self.model = model
         self.variables = variables
         self.mesh = mesh
@@ -109,9 +134,27 @@ class Renderer:
         order = face_morton_order(self.mesh.vertices, self.mesh.faces)
         self._faces_sorted = jnp.asarray(self.mesh.faces[order])
         self._face_orig_ids = jnp.asarray(order.astype(np.int32))
-        self._trace_idx = jax.jit(self._trace_from_indices)
-        self._trace_coords = jax.jit(self._trace_from_coords)
-        self._infer = jax.jit(self._infer_impl)
+        if self._mesh is None:
+            self._trace_idx = jax.jit(self._trace_from_indices)
+            self._trace_coords = jax.jit(self._trace_from_coords)
+            self._infer = jax.jit(self._infer_impl)
+        else:
+            Pd = P(self._axis)
+            self._trace_idx = jax.jit(shard_map(
+                self._trace_from_indices, mesh=self._mesh,
+                in_specs=(Pd, P(), P(), P()), out_specs=(Pd,) * 5,
+                check_vma=False,
+            ))
+            self._trace_coords = jax.jit(shard_map(
+                self._trace_from_coords, mesh=self._mesh,
+                in_specs=(Pd, P(), P()), out_specs=(Pd,) * 5,
+                check_vma=False,
+            ))
+            self._infer = jax.jit(shard_map(
+                self._infer_impl, mesh=self._mesh,
+                in_specs=(P(), P(), (Pd,) * 5), out_specs=(Pd, Pd),
+                check_vma=False,
+            ))
         # Geometry-dependent per-view trace cache, LRU-bounded and keyed on
         # (cache_key, H, W) so a resolution change can never serve a stale
         # trace even without the explicit clears (see render(cache_key=...)).

@@ -36,6 +36,7 @@ def parse_args():
     parser.add_argument("--turns", type=float, default=2)
     parser.add_argument("--duration", type=float, default=15)
     parser.add_argument("--fps", type=int, default=60)
+    parser.add_argument("--num_devices", type=int, default=None)
     return parser.parse_args()
 
 
@@ -65,7 +66,7 @@ def fit_camera_to_resolution(cam_orig, res):
 def main():
     args = parse_args()
     config = load_config(args.config_path)
-    renderer = make_renderer_with_trained_model(config)
+    renderer = make_renderer_with_trained_model(config, n_devices=args.num_devices)
 
     camCv2world, K = load_extr_and_intr_camera(args.cameras_path)
     cam_orig = {

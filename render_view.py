@@ -17,6 +17,7 @@ def parse_args():
     parser.add_argument("--cameras_path", type=str)
     parser.add_argument("--height", nargs="?", type=int, default=None)
     parser.add_argument("--width", nargs="?", type=int, default=None)
+    parser.add_argument("--num_devices", type=int, default=None)
     return parser.parse_args()
 
 
@@ -24,7 +25,7 @@ def main():
     args = parse_args()
     config = load_config(args.config_path)
 
-    renderer = make_renderer_with_trained_model(config)
+    renderer = make_renderer_with_trained_model(config, n_devices=args.num_devices)
     camCv2world, K = load_extr_and_intr_camera(args.cameras_path)
     cam_intrinsic = {
         "K": K,

@@ -144,3 +144,33 @@ def test_trace_cache_lru_bounded():
         cam = _look_at_cam(np.array([3 * np.cos(ang), 3 * np.sin(ang), 0.5]))
         renderer.render(cam, K, cache_key=f"frame{i}")
     assert len(renderer._trace_cache) == _TRACE_CACHE_MAX
+
+
+def test_sharded_render_bit_equal_to_single_device():
+    """Renderer(mesh_devices=...) shards the padded ray buckets 8-way; the
+    rendered image and hit set must be BIT-equal to single-device."""
+    import jax
+    from intrinsic_neural_fields_tpu.parallel import make_device_mesh
+
+    assert jax.device_count() >= 8
+    H = W = 48
+    single, m, efuncs = _renderer(H, W)
+    cfg = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 32, "skip_layer_idx": 2}
+    sharded = Renderer(
+        single.model, single.variables, m, eigenfunctions=efuncs, H=H, W=W,
+        mesh_devices=make_device_mesh(8),
+    )
+    cam, K, _, _ = _camera_rays(H, W)
+
+    img_s, hits_s = single.render(cam, K, eval_render=True)
+    img_m, hits_m = sharded.render(cam, K, eval_render=True)
+    np.testing.assert_array_equal(img_s, img_m)
+    np.testing.assert_array_equal(hits_s, hits_m)
+
+    # masked path too
+    mask = np.zeros(H * W, dtype=bool)
+    mask[: H * W // 2] = True
+    np.testing.assert_array_equal(
+        single.render(cam, K, obj_mask_1d=mask),
+        sharded.render(cam, K, obj_mask_1d=mask),
+    )
