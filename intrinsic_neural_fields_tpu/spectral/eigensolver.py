@@ -8,14 +8,22 @@ reference uses, reference mesh.py:140):
     semantics oracle and the default for large k (the reference path).
     Retries with L + 1e-10 I when the factorization is exactly singular
     (reference mesh.py:141-149).
-  - "dense": on-device `jnp.linalg.eigh` of the symmetrically normalized
-    operator C = M^{-1/2} L M^{-1/2} (M is diagonal for every Laplacian this
-    framework builds), then phi = M^{-1/2} u. Exact, feasible for meshes up
-    to a few 10^4 vertices; all eigenpairs come out of one factorization.
+  - "dense": eigh of the symmetrically normalized operator
+    C = M^{-1/2} L M^{-1/2} (M is diagonal for every Laplacian this
+    framework builds), then phi = M^{-1/2} u. Exact; all eigenpairs from one
+    factorization. Honest framing: this routes to HOST LAPACK (f64) except
+    in a narrow 4096<n<=6000 window where the device f32 eigh is used — the
+    device QDWH scratch OOMs beyond ~6-8k rows and f32 accuracy only
+    suffices for well-separated spectra. The at-scale device path is
+    "chefsi", not "dense".
   - "lobpcg": on-device blocked LOBPCG (jax.experimental.sparse) on the
     spectrally shifted operator sigma I - C, whose LARGEST eigenpairs are the
-    SMALLEST of C. Sparse matvec via BCOO; suited to moderate k on large
-    meshes without leaving the device.
+    SMALLEST of C. Sparse matvec via BCOO; converges for SMALL k only (the
+    flipped spectrum has poor gap ratios) — kept as the simple option.
+  - "chefsi": Chebyshev-filtered subspace iteration — the at-scale
+    on-device path (k in the hundreds to thousands): f32 blocked filter +
+    QR + Rayleigh-Ritz on device, one f64 filter+RR polish on the host.
+    See _chefsi_device for the measured f32/f64 behavior.
 """
 from __future__ import annotations
 
@@ -130,6 +138,165 @@ def _lobpcg_device(L, M, k, tol=1e-6, maxiter=400, seed=0):
     return evals, phi
 
 
+def _ell_arrays(L, inv_sqrt):
+    """C = D^{-1/2} L D^{-1/2} in padded-ELL layout: per-row neighbor index
+    and weight matrices [n, dmax] (pad: self-index, weight 0). A sparse
+    matvec then lowers to one row gather + a small weighted reduction —
+    the TPU-friendly formulation (BCOO scatter-adds are much slower)."""
+    Lcsr = L.tocsr()
+    n = Lcsr.shape[0]
+    deg = np.diff(Lcsr.indptr)
+    dmax = int(deg.max())
+    idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, dmax))
+    w = np.zeros((n, dmax), dtype=np.float32)
+    coo = Lcsr.tocoo()
+    order = np.argsort(coo.row, kind="stable")
+    rows, cols, vals = coo.row[order], coo.col[order], coo.data[order]
+    pos = np.concatenate([[0], np.cumsum(deg)])
+    within = np.arange(len(rows)) - pos[rows]
+    idx[rows, within] = cols.astype(np.int32)
+    w[rows, within] = (vals * inv_sqrt[rows] * inv_sqrt[cols]).astype(np.float32)
+    return idx, w
+
+
+def _chefsi_device(
+    L, M, k,
+    tol=1e-3, degree=40, buffer_frac=0.2, max_iter=30, seed=0,
+    refine=True, refine_degree=60,
+):
+    """Chebyshev-filtered subspace iteration (CheFSI) on the device, f32,
+    with one float64 filter + Rayleigh-Ritz polish on the host.
+
+    Replaces ARPACK shift-invert (reference mesh.py:140) at preprocessing
+    scale (k in the hundreds-to-thousands) without factorizing anything:
+    every operation is TPU-shaped — blocked sparse matvecs (padded-ELL row
+    gathers), tall-skinny QR, and a small dense eigh for the Rayleigh-Ritz
+    step. A degree-p Chebyshev polynomial of the normalized operator
+    C = M^{-1/2} L M^{-1/2}, scaled to damp [lambda_cut, lambda_max],
+    amplifies the wanted low end of the spectrum; iterating
+    filter -> QR -> Rayleigh-Ritz converges the k+buffer lowest pairs.
+
+    f32 note (measured, sphere n=10242/k=529): the device iteration stalls
+    at relative residual ~1e-3 — the filter's dynamic range across the
+    wanted window exceeds f32 — while the IDENTICAL iteration in f64
+    converges to machine precision in 3 rounds. So the device does the bulk
+    of the work in f32 and the host applies ONE f64 filter application +
+    Rayleigh-Ritz to the returned subspace (a few seconds: ~refine_degree
+    sparse matvecs + one tall QR), after which eigenvalues/subspace are
+    accurate to ~1e-9 relative. Deterministic: seeded start, fixed
+    iteration counts given the same inputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d = _as_diag_array(M)
+    inv_sqrt = 1.0 / np.sqrt(d)
+    n = L.shape[0]
+    m = k + max(int(k * buffer_frac), 16)
+    assert m <= n, (k, m, n)
+    idx_np, w_np = _ell_arrays(L, inv_sqrt)
+    idx, w = jnp.asarray(idx_np), jnp.asarray(w_np)
+
+    def spmv(X):
+        # [n, dmax] gather of X rows + weighted reduction over neighbors
+        return jnp.einsum("nd,ndm->nm", w, X[idx])
+
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def lam_max_fn(v):
+        def body(v, _):
+            u = spmv(v)
+            return u / jnp.linalg.norm(u), None
+        v, _ = jax.lax.scan(body, v, None, length=50)
+        u = spmv(v)
+        return jnp.vdot(v, u) / jnp.vdot(v, v)
+
+    lam_max = float(lam_max_fn(jax.random.normal(key, (n, 1), jnp.float32))) * 1.05
+
+    @jax.jit
+    def rayleigh_ritz(Y):
+        Q, _ = jnp.linalg.qr(Y)
+        H = Q.T @ spmv(Q)
+        theta, U = jnp.linalg.eigh(0.5 * (H + H.T))
+        X = Q @ U
+        R = spmv(X) - X * theta[None, :]
+        return X, theta, jnp.linalg.norm(R, axis=0)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("deg",))
+    def cheb_filter(X, lam_cut, deg):
+        # Scaled three-term recurrence (Zhou et al. / PARSEC): the polynomial
+        # is normalized at lambda=0 so wanted components stay O(1) while
+        # [lam_cut, lam_max] is damped.
+        e = (lam_max - lam_cut) / 2.0
+        c = (lam_max + lam_cut) / 2.0
+        sigma1 = e / c
+        Y = (spmv(X) - c * X) * (sigma1 / e)
+
+        def body(carry, _):
+            Xm1, Yc, sig = carry
+            sig_new = 1.0 / (2.0 / sigma1 - sig)
+            Yn = 2.0 * (sig_new / e) * (spmv(Yc) - c * Yc) - (sig * sig_new) * Xm1
+            return (Yc, Yn, sig_new), None
+
+        (_, Y, _), _ = jax.lax.scan(body, (X, Y, sigma1), None, length=deg - 1)
+        return Y
+
+    X = jax.random.normal(jax.random.fold_in(key, 1), (n, m), jnp.float32)
+    X, theta, res = rayleigh_ritz(X)
+    for _ in range(max_iter):
+        lam_cut = float(theta[k])
+        lam_cut = min(max(lam_cut, 1e-6 * lam_max), 0.9 * lam_max)
+        X, theta, res = rayleigh_ritz(cheb_filter(X, lam_cut, degree))
+        if float(jnp.max(res[:k])) / lam_max < tol:
+            break
+
+    X_host = np.asarray(X, dtype=np.float64)
+    if refine:
+        # f64 polish rounds on the host (filter + Rayleigh-Ritz). The f32
+        # subspace can be RANK-DEFICIENT inside near-degenerate clusters
+        # (directions lost below the f32 stall floor); filtering alone can
+        # never re-create a missing direction (p(C) acts diagonally in the
+        # eigenbasis), so the start is re-seeded with small noise and rounds
+        # repeat until the wanted residuals hit f64 scale. Typically 1-2
+        # rounds; each costs refine_degree sparse matvecs + one tall QR.
+        C = (sparse.diags(inv_sqrt) @ L @ sparse.diags(inv_sqrt)).tocsr()
+        rng = np.random.RandomState(seed + 1)
+        X_host = X_host + 1e-5 * rng.standard_normal(X_host.shape)
+        lam_cut = min(max(float(theta[k]), 1e-6 * lam_max), 0.9 * lam_max)
+
+        def cheb_f64(Xh, cut, deg):
+            e = (lam_max - cut) / 2.0
+            c = (lam_max + cut) / 2.0
+            sig = sig1 = e / c
+            Y = (C @ Xh - c * Xh) * (sig1 / e)
+            Xm1 = Xh
+            for _ in range(deg - 1):
+                sig_new = 1.0 / (2.0 / sig1 - sig)
+                Y, Xm1 = 2.0 * (sig_new / e) * (C @ Y - c * Y) - (sig * sig_new) * Xm1, Y
+                sig = sig_new
+            return Y
+
+        evals = None
+        for _ in range(4):
+            Q, _ = np.linalg.qr(cheb_f64(X_host, lam_cut, refine_degree))
+            H = Q.T @ (C @ Q)
+            theta_h, U = np.linalg.eigh(0.5 * (H + H.T))
+            X_host = Q @ U
+            evals = theta_h[:k]
+            R = C @ X_host[:, :k] - X_host[:, :k] * evals[None, :]
+            if np.linalg.norm(R, axis=0).max() < 1e-9 * lam_max:
+                break
+            lam_cut = min(max(float(theta_h[k]), 1e-6 * lam_max), 0.9 * lam_max)
+    else:
+        evals = np.asarray(theta, dtype=np.float64)[:k]
+
+    phi = X_host[:, :k] * inv_sqrt[:, None]
+    return evals, phi
+
+
 def solve_generalized_eigenproblem(L, M, k, method="shift_invert", **kwargs):
     """k smallest eigenpairs of L phi = lambda M phi, M-orthonormal phi."""
     if method == "shift_invert":
@@ -138,6 +305,8 @@ def solve_generalized_eigenproblem(L, M, k, method="shift_invert", **kwargs):
         return _dense_device(L, M, k)
     if method == "lobpcg":
         return _lobpcg_device(L, M, k, **kwargs)
+    if method == "chefsi":
+        return _chefsi_device(L, M, k, **kwargs)
     raise ValueError(f"Unknown eigensolver method: {method}")
 
 

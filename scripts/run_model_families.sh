@@ -1,0 +1,19 @@
+#!/bin/bash
+# E2E quality runs for every baseline model family on the HQ synthetic
+# dataset (VERDICT r1 missing #4): tf_rff, xyz, HKS, view-dependent
+# (intrinsic + extrinsic), NeuTex. Assumes data/synthetic_hq exists
+# (tools/make_synthetic_dataset.py ... --H 256 --W 256 --n_train 20
+#  --subdivisions 5 + preprocess, see scripts/run_synthetic_end_to_end.sh).
+set -e
+
+# NeuTex needs its pretrained sphere<->surface mapping first
+if [ ! -f data/pretrained/blob_pretrained_neutex_mapping.npz ]; then
+  python tools/pretrain_neutex_mapping.py data/synthetic_hq/blob.obj \
+    data/pretrained/blob_pretrained_neutex_mapping.npz --iterations 40000
+fi
+
+for fam in tf_rff_blob xyz_blob hks_blob viewdep_intrinsic_blob viewdep_extrinsic_blob neutex_blob; do
+  echo "=== $fam ==="
+  python train.py configs/synthetic/$fam.yaml --allow_checkpoint_loading
+  python eval.py out/synthetic/$fam/test_eval configs/synthetic/$fam.yaml data/synthetic_hq test
+done
