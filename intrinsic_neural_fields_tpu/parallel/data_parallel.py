@@ -51,11 +51,27 @@ def make_device_mesh(n_devices=None, axis_name="data"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuffle="full"):
+def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
+                      shuffle="full", fused=False):
     """(train_epoch, val_epoch) with the same signatures as train.steps'
     single-device versions, but sharded over `mesh`. shuffle="blocks" streams
-    contiguous per-device slices of each global block (see train/steps.py)."""
+    contiguous per-device slices of each global block (see train/steps.py).
+    fused=True runs the per-device step as one Pallas kernel (see
+    train/steps.py make_epoch_fns): each device computes local-mean grads,
+    which pmean to the global batch mean; requires blocks mode (full
+    batches) and a fused-eligible model."""
     assert shuffle in ("full", "blocks")
+    if fused and shuffle != "blocks":
+        # The fused kernel only pays in the streaming blocks mode (measured
+        # slower than XLA when the per-row gather dominates, RESULTS.md).
+        print("fused_mlp: ignored in the full-shuffle DP path (blocks only)")
+        fused = False
+    if fused:
+        from ..train.steps import fused_mlp_eligible
+
+        assert fused_mlp_eligible(model), (
+            "training.fused_mlp requires the plain TextureField config"
+        )
     assert not getattr(model, "batchnorm", False), (
         "BatchNorm is not supported in the data-parallel path (per-shard "
         "statistics would need a psum sync); train single-device instead"
@@ -162,6 +178,41 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuff
                 hit_features=P(axis_name),
             )
 
+            if fused:
+                from ..ops.fused_mlp import (
+                    FusedMLPSpec,
+                    grads_to_flax,
+                    make_fused_train_grads,
+                    params_to_list,
+                )
+
+                k_in = data.features.shape[1]
+                spec = FusedMLPSpec(
+                    num_layers=model.num_layers,
+                    k_in=k_in,
+                    hidden=model.hidden_dim,
+                    skip_idx=model.skip_layer_idx,
+                )
+                tile = 1024 if local_b % 1024 == 0 else local_b
+                fused_run = make_fused_train_grads(spec, loss_type, batch_tile=tile)
+
+            def fused_shard_step(carry, batch, state):
+                params, opt_state, acc_loss, acc_sq, acc_n = carry
+                x = batch["eigenfunctions"]
+                if x.dtype not in (jnp.bfloat16, jnp.float32):
+                    x = x.astype(jnp.float32)
+                x = jnp.pad(x, ((0, 0), (0, spec.k_pad - k_in)))
+                wb = params_to_list(spec, params)
+                grad_list, loss_sum, sq_sum = fused_run(wb, x, batch["expected_rgbs"])
+                # fused grads are local-batch means; pmean = global batch mean
+                grads = lax.pmean(grads_to_flax(spec, grad_list), axis_name)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                acc_loss = acc_loss + lax.psum(loss_sum, axis_name) / 3.0
+                acc_sq = acc_sq + lax.psum(sq_sum, axis_name)
+                acc_n = acc_n + jnp.float32(batch_size)
+                return (params, opt_state, acc_loss, acc_sq, acc_n)
+
             def shard_fn(state, key, data, dev_ids):
                 dev = dev_ids[0]
                 block_order = jax.random.permutation(
@@ -170,6 +221,8 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data", shuff
 
                 def step(carry, i):
                     batch = slice_batch(data, block_order[i] * local_b, local_b)
+                    if fused:
+                        return fused_shard_step(carry, batch, state), None
                     w = jnp.ones((local_b,), jnp.float32)
                     return step_body(carry, batch, w, state), None
 
@@ -266,6 +319,7 @@ def parallelize_trainer(trainer, n_devices):
     trainer.train_epoch_fn, trainer.val_epoch_fn = make_dp_epoch_fns(
         trainer.model, trainer.optimizer, trainer.loss_type, mesh,
         shuffle=getattr(trainer, "shuffle", "full"),
+        fused=getattr(trainer, "fused_mlp", False),
     )
     print(f"Data-parallel training over {n_devices} devices: {mesh}")
     return trainer

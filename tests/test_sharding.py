@@ -175,3 +175,30 @@ def test_dp_blocks_sharded_hit_features_exact_mean():
     v = float(jax.device_get(dp_val(state, data, 512))["loss"])
     state, m = dp_train(state, jax.random.PRNGKey(5), data, 16, 512)
     np.testing.assert_allclose(float(m["loss"]), v, rtol=1e-5)
+
+
+def test_dp_fused_blocks_matches_xla_dp():
+    """fused=True in the DP blocks path: per-device Pallas steps with pmean'd
+    local-mean grads must track the XLA DP path's loss curve."""
+    from intrinsic_neural_fields_tpu.data.sampler import precompute_hit_features
+
+    data = precompute_hit_features(_synthetic_raydata(n=8192))
+    cfg = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    mesh = make_device_mesh(8)
+
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    curves = {}
+    for fused in (False, True):
+        tr, va = make_dp_epoch_fns(model, optimizer, "L1", mesh,
+                                   shuffle="blocks", fused=fused)
+        state = create_train_state(copy(variables), optimizer)
+        losses = []
+        for e in range(6):
+            state, m = tr(state, jax.random.PRNGKey(e), data, 16, 512)
+            losses.append(float(jax.device_get(m["loss"])))
+        curves[fused] = losses
+    assert curves[True][-1] < 0.7 * curves[True][0], curves[True]
+    np.testing.assert_allclose(curves[True], curves[False], rtol=0.02)
