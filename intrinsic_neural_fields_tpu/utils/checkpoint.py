@@ -17,6 +17,7 @@ from flax import serialization
 
 
 def save_checkpoint(path, pytree):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     data = serialization.to_bytes(jax.device_get(pytree))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -46,6 +47,7 @@ def save_npz_pytree(path, tree):
             flat[prefix] = np.asarray(node)
 
     rec("", jax.device_get(tree))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **flat)
 
 

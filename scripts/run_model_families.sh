@@ -6,10 +6,11 @@
 #  --subdivisions 5 + preprocess, see scripts/run_synthetic_end_to_end.sh).
 set -e
 
-# NeuTex needs its pretrained sphere<->surface mapping first
-if [ ! -f data/pretrained/blob_pretrained_neutex_mapping.npz ]; then
+# NeuTex needs its pretrained sphere<->surface mapping first (the committed
+# artifact in pretrained/ mirrors the reference's neutex/pretrained/*.pt)
+if [ ! -f pretrained/blob_pretrained_neutex_mapping.npz ]; then
   python tools/pretrain_neutex_mapping.py data/synthetic_hq/blob.obj \
-    data/pretrained/blob_pretrained_neutex_mapping.npz --iterations 40000
+    pretrained/blob_pretrained_neutex_mapping.npz --iterations 40000
 fi
 
 for fam in tf_rff_blob xyz_blob hks_blob viewdep_intrinsic_blob viewdep_extrinsic_blob neutex_blob; do

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Device-vs-host preprocessing benchmark at cat scale (VERDICT r1 item 10).
+
+Times a full `preprocess_dataset`-equivalent pass over a split with the XLA
+device tracer and with the float64 host oracle (the reference's Embree role,
+reference mesh.py:431-570), and reports ray-aligned hit parity between the
+two: valid-mask agreement, face-id agreement among both-valid rays, and
+barycentric/t deviations among face-matching rays.
+
+`python tools/bench_preprocessing.py dataset_path mesh.obj split [--views N]`
+
+Prints one JSON line with wall times and parity stats (recorded in RESULTS.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from intrinsic_neural_fields_tpu.data.datasets import read_split_list
+from intrinsic_neural_fields_tpu.data.preprocess import MeshViewPreProcessor
+from intrinsic_neural_fields_tpu.ops.ray_gen import (
+    pixel_grid_coords,
+    ray_origins_and_directions,
+)
+from intrinsic_neural_fields_tpu.utils.io import load_cameras, load_obj_mask_as_numpy
+
+
+def gather_view_rays(dataset_path, views):
+    """Masked-pixel rays per view, as the preprocessor would cast them."""
+    out = []
+    for view in views:
+        view_path = os.path.join(dataset_path, view)
+        camCv2world, K = load_cameras(view_path)
+        mask = load_obj_mask_as_numpy(view_path)
+        H, W = mask.shape
+        coords = pixel_grid_coords(H, W)[mask.reshape(-1)]
+        origins, dirs = ray_origins_and_directions(
+            np.asarray(camCv2world, np.float32), np.asarray(K, np.float32), coords
+        )
+        out.append((np.asarray(origins), np.asarray(dirs)))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("dataset_path")
+    p.add_argument("path_to_mesh")
+    p.add_argument("split")
+    p.add_argument("--views", type=int, default=None, help="limit view count")
+    args = p.parse_args()
+
+    views = read_split_list(args.dataset_path, args.split)
+    if args.views:
+        views = views[: args.views]
+    rays = gather_view_rays(args.dataset_path, views)
+    n_rays = int(sum(o.shape[0] for o, _ in rays))
+
+    results = {}
+    hits = {}
+    for intersector in ("device", "host"):
+        pre = MeshViewPreProcessor(args.path_to_mesh, "/tmp/_unused", intersector=intersector)
+        if intersector == "device":
+            pre._intersect(*rays[0])  # compile outside the timed region
+        t0 = time.time()
+        per_view = [pre._intersect(o, d) for o, d in rays]
+        wall = time.time() - t0
+        hits[intersector] = per_view
+        results[f"{intersector}_wall_s"] = round(wall, 3)
+        results[f"{intersector}_rays_per_s"] = round(n_rays / wall)
+
+    valid_agree = face_agree = both_valid = 0
+    bary_max = t_max = 0.0
+    for (td, fd, bd, vd), (th, fh, bh, vh) in zip(hits["device"], hits["host"]):
+        valid_agree += int((vd == vh).sum())
+        bv = vd & vh
+        both_valid += int(bv.sum())
+        fm = bv & (fd == fh)
+        face_agree += int(fm.sum())
+        if fm.any():
+            bary_max = max(bary_max, float(np.abs(bd[fm] - bh[fm]).max()))
+            t_max = max(t_max, float(np.abs(td[fm] - th[fm]).max()))
+
+    results.update(
+        n_views=len(views),
+        n_rays=n_rays,
+        valid_agreement=round(valid_agree / n_rays, 6),
+        face_agreement_among_valid=round(face_agree / max(both_valid, 1), 6),
+        bary_max_abs_diff=float(f"{bary_max:.3e}"),
+        t_max_abs_diff=float(f"{t_max:.3e}"),
+        speedup=round(results["host_wall_s"] / results["device_wall_s"], 1),
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
