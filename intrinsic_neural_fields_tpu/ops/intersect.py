@@ -113,7 +113,10 @@ def _pad_to(x, size, axis=0, value=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_tile", "face_tile", "t_max", "cull")
+    jax.jit,
+    static_argnames=(
+        "ray_tile", "face_tile", "t_max", "cull", "shared_origin", "mxu",
+    ),
 )
 def intersect_rays(
     vertices,
@@ -122,9 +125,11 @@ def intersect_rays(
     dirs,
     *,
     ray_tile: int = 1024,
-    face_tile: int = 512,
+    face_tile: int = 256,
     t_max: float = np.inf,
     cull: bool = True,
+    shared_origin: bool = False,
+    mxu: bool = False,
 ):
     """Nearest-hit intersection of R rays against F triangles.
 
@@ -138,7 +143,21 @@ def intersect_rays(
         pair, executed as a real branch via lax.cond). Results are identical
         to the brute-force sweep; the win scales with ray coherence and face
         locality — pass Morton-ordered rays/faces (see morton-helpers) for
-        order-of-magnitude render speedups.
+        order-of-magnitude render speedups. Tile defaults are the measured
+        optimum on a 512^2 view of an 82k-face mesh (ray 1024 x face 256,
+        tools/sweep_tracer_tiles.py); finer face tiles cull tighter until
+        loop overhead wins below 256.
+      shared_origin: promise that every row of `origins` is the SAME point
+        (true for all pinhole-camera ray bundles — reference mesh.py:195-207
+        broadcasts the camera center). The three origin-side contractions
+        (o.n, o.a, o.b) then hoist out of the rays x faces hot loop into
+        per-face scalars, cutting its VPU work by ~1/3. Hits match the
+        general path to f32 rounding (the u/v sums re-associate).
+      mxu: compute the direction-side contractions d.[n|a|b] as ONE
+        [rt,3]x[3,3*ft] matmul at lax.Precision.HIGHEST (f32 emulated by
+        bf16x3 passes on the MXU) instead of explicit VPU FMAs. Same
+        accuracy class as f32 (tested vs the oracle); rounding differs from
+        the VPU path in the last bits.
     Returns a dense `Hits` with arrays of length R.
     """
     vertices = jnp.asarray(vertices, jnp.float32)
@@ -174,6 +193,17 @@ def intersect_rays(
     pad_rows = Rp - R
     origins_t = jnp.pad(origins, ((0, pad_rows), (0, 0)), mode="edge").reshape(-1, ray_tile, 3)
     dirs_t = jnp.pad(dirs, ((0, pad_rows), (0, 0)), mode="edge").reshape(-1, ray_tile, 3)
+
+    if shared_origin:
+        # Hoist the origin-side contractions to per-face scalars: the t
+        # numerator (c - o.n) is arithmetically identical to the general
+        # path's per-pair (c - o.n); u/v re-associate to (o.a - a0) + t*(d.a).
+        o0 = origins[0]
+        tnum_f = fd.c - (fd.n[:, 0] * o0[0] + fd.n[:, 1] * o0[1] + fd.n[:, 2] * o0[2])
+        oa_f = (fd.a[:, 0] * o0[0] + fd.a[:, 1] * o0[1] + fd.a[:, 2] * o0[2]) - fd.a0
+        ob_f = (fd.b[:, 0] * o0[0] + fd.b[:, 1] * o0[1] + fd.b[:, 2] * o0[2]) - fd.b0
+    else:
+        tnum_f = oa_f = ob_f = None
 
     n_face_tiles = Fp // face_tile
     inf = jnp.float32(np.inf)
@@ -230,18 +260,39 @@ def intersect_rays(
             best_t, best_f, best_u, best_v = carry
             s = i * face_tile
             N = lax.dynamic_slice(fd.n, (s, 0), (face_tile, 3))
-            C = lax.dynamic_slice(fd.c, (s,), (face_tile,))
             A = lax.dynamic_slice(fd.a, (s, 0), (face_tile, 3))
-            A0 = lax.dynamic_slice(fd.a0, (s,), (face_tile,))
             B = lax.dynamic_slice(fd.b, (s, 0), (face_tile, 3))
-            B0 = lax.dynamic_slice(fd.b0, (s,), (face_tile,))
             OK = lax.dynamic_slice(fd.ok, (s,), (face_tile,))
 
-            dn = _dot3(d, N)                  # [rt, ft]
-            on = _dot3(o, N)
-            t = (C[None, :] - on) / dn        # plane hit distance
-            u = _dot3(o, A) + t * _dot3(d, A) - A0[None, :]
-            v = _dot3(o, B) + t * _dot3(d, B) - B0[None, :]
+            if mxu:
+                nab = jnp.concatenate([N, A, B], axis=0)  # [3*ft, 3]
+                dnab = lax.dot_general(
+                    d, nab,
+                    (((1,), (1,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                )                                          # [rt, 3*ft]
+                dn = dnab[:, :face_tile]
+                dA = dnab[:, face_tile : 2 * face_tile]
+                dB = dnab[:, 2 * face_tile :]
+            else:
+                dn = _dot3(d, N)              # [rt, ft]
+                dA = _dot3(d, A)
+                dB = _dot3(d, B)
+            if shared_origin:
+                TNUM = lax.dynamic_slice(tnum_f, (s,), (face_tile,))
+                OA = lax.dynamic_slice(oa_f, (s,), (face_tile,))
+                OB = lax.dynamic_slice(ob_f, (s,), (face_tile,))
+                t = TNUM[None, :] / dn        # plane hit distance
+                u = OA[None, :] + t * dA
+                v = OB[None, :] + t * dB
+            else:
+                C = lax.dynamic_slice(fd.c, (s,), (face_tile,))
+                A0 = lax.dynamic_slice(fd.a0, (s,), (face_tile,))
+                B0 = lax.dynamic_slice(fd.b0, (s,), (face_tile,))
+                on = _dot3(o, N)
+                t = (C[None, :] - on) / dn    # plane hit distance
+                u = _dot3(o, A) + t * dA - A0[None, :]
+                v = _dot3(o, B) + t * dB - B0[None, :]
 
             hit = (
                 OK[None, :]

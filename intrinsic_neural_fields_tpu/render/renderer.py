@@ -204,7 +204,13 @@ class Renderer:
 
     def _trace_impl(self, origins, dirs):
         """[Lpad,3] rays -> per-ray hit records (device arrays)."""
-        hits = intersect_rays(self._verts, self._faces_sorted, origins, dirs)
+        # shared_origin: every ray of a view starts at the camera center
+        # (ray_origins_and_directions broadcasts it), which hoists the
+        # origin-side contractions out of the rays x faces loop — measured
+        # ~35% faster full-view trace (tools/sweep_tracer_tiles.py).
+        hits = intersect_rays(
+            self._verts, self._faces_sorted, origins, dirs, shared_origin=True
+        )
         safe_face_sorted = jnp.where(hits.valid, hits.face_idx, 0)
         vids = jnp.take(self._faces_sorted, safe_face_sorted, axis=0)
         # map back to original face ids for downstream normal lookups

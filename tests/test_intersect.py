@@ -135,3 +135,39 @@ def test_miss_rays_flagged_invalid():
     )
     assert not bool(hits.valid[0])
     assert int(hits.face_idx[0]) == -1
+
+
+def test_shared_origin_and_mxu_variants_match_base():
+    """shared_origin hoists the origin contractions (renderer/preprocess fast
+    path); mxu moves the direction contractions onto the matrix unit. Both
+    must reproduce the base path: identical hit decisions, t bit-equal for
+    shared_origin (same arithmetic), bary within f32 re-association error."""
+    from intrinsic_neural_fields_tpu.ops.ray_gen import (
+        pixel_grid_coords,
+        ray_origins_and_directions,
+    )
+
+    m = icosphere(3)
+    H = W = 48
+    cam = np.eye(4, dtype=np.float32)[:3]
+    cam[2, 3] = -3.0
+    K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]], np.float32)
+    o, d = ray_origins_and_directions(cam, K, pixel_grid_coords(H, W))
+    o, d = np.asarray(o), np.asarray(d)
+    v, f = jnp.asarray(m.vertices, jnp.float32), jnp.asarray(m.faces)
+
+    base = intersect_rays(v, f, o, d)
+    shared = intersect_rays(v, f, o, d, shared_origin=True)
+    assert np.array_equal(np.asarray(base.valid), np.asarray(shared.valid))
+    assert np.array_equal(np.asarray(base.face_idx), np.asarray(shared.face_idx))
+    assert np.array_equal(np.asarray(base.t), np.asarray(shared.t))
+    assert np.abs(np.asarray(base.bary) - np.asarray(shared.bary)).max() < 1e-5
+
+    for kw in ({"mxu": True}, {"shared_origin": True, "mxu": True}):
+        alt = intersect_rays(v, f, o, d, **kw)
+        both = np.asarray(base.valid) & np.asarray(alt.valid)
+        assert (np.asarray(base.valid) == np.asarray(alt.valid)).mean() > 0.999
+        assert (
+            np.asarray(base.face_idx)[both] == np.asarray(alt.face_idx)[both]
+        ).mean() > 0.999
+        assert np.abs(np.asarray(base.t)[both] - np.asarray(alt.t)[both]).max() < 1e-4
