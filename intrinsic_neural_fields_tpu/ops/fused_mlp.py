@@ -91,6 +91,62 @@ def params_to_list(spec: FusedMLPSpec, flax_params):
     return out
 
 
+def pad_flax_params(spec: FusedMLPSpec, flax_params):
+    """Flax params -> same dict structure with lane-padded leaves.
+
+    Running the whole epoch in this padded space makes the per-step
+    list<->dict conversion a free restructuring (no pad/slice copies): pads
+    are zero, receive zero gradients (inputs' garbage lanes are zeroed
+    in-kernel, output lanes loss-masked), and stay exactly zero under Adam.
+    """
+    out = {}
+    for name, role in spec.weight_names():
+        W = jnp.asarray(flax_params[name]["kernel"], jnp.float32)
+        b = jnp.asarray(flax_params[name]["bias"], jnp.float32)
+        if role in ("input", "skip_x"):
+            W = jnp.pad(W, ((0, spec.k_pad - spec.k_in), (0, 0)))
+        if role == "out":
+            W = jnp.pad(W, ((0, 0), (0, spec.out_pad - spec.out_dim)))
+            b = jnp.pad(b, (0, spec.out_pad - spec.out_dim))
+        out[name] = {"kernel": W, "bias": b}
+    return out
+
+
+def unpad_flax_params(spec: FusedMLPSpec, padded):
+    """Inverse of pad_flax_params (slices the padding back off)."""
+    out = {}
+    for name, role in spec.weight_names():
+        W = padded[name]["kernel"]
+        b = padded[name]["bias"]
+        if role in ("input", "skip_x"):
+            W = W[: spec.k_in]
+        if role == "out":
+            W = W[:, : spec.out_dim]
+            b = b[: spec.out_dim]
+        out[name] = {"kernel": W, "bias": b}
+    return out
+
+
+def wb_from_padded(spec: FusedMLPSpec, padded):
+    """Padded params dict -> kernel operand list (pure restructuring)."""
+    out = []
+    for name, _ in spec.weight_names():
+        out.append(padded[name]["kernel"])
+        out.append(padded[name]["bias"].reshape(1, -1))
+    return out
+
+
+def grads_to_padded(spec: FusedMLPSpec, grad_list):
+    """Kernel grad list -> padded params dict structure (no slicing)."""
+    out = {}
+    it = iter(grad_list)
+    for name, _ in spec.weight_names():
+        dW = next(it)
+        db = next(it).reshape(-1)
+        out[name] = {"kernel": dW, "bias": db}
+    return out
+
+
 def grads_to_flax(spec: FusedMLPSpec, grad_list, flax_params_template=None):
     """Inverse of params_to_list for gradients (strips padding)."""
     out = {}
@@ -133,7 +189,12 @@ def _mm_nt(a, b):
 
 
 def _forward_layers(spec, x, wb):
-    """Shared fwd chain. Returns (pre-sigmoid output, activations list)."""
+    """Shared fwd chain. Returns (pre-sigmoid output, activations list).
+
+    Saved activations are stored bfloat16: their only consumers are the
+    backward matmuls (which cast operands to bf16 anyway — same numbers)
+    and the ReLU mask; the f32 `h` chain itself is unaffected. Halves the
+    VMEM the backward pass pins per batch tile."""
     acts = [x]
     h = x
     w = 0
@@ -146,7 +207,7 @@ def _forward_layers(spec, x, wb):
             W, b = wb[w], wb[w + 1]
             w += 2
             h = jnp.maximum(_mm(h, W) + b, 0.0)
-        acts.append(h)
+        acts.append(h.astype(jnp.bfloat16))
     Wo, bo = wb[w], wb[w + 1]
     return _mm(h, Wo) + bo, acts
 
@@ -204,7 +265,8 @@ def _make_bwd_kernel(spec):
         for i, w, n in reversed(slots):
             h_in = acts[i]       # input to layer i
             h_out = acts[i + 1]  # its (post-relu) output
-            d = d * (h_out > 0.0)
+            # f32 cast before the compare: Mosaic has no bf16 vector cmp
+            d = d * (h_out.astype(jnp.float32) > 0.0)
             if n == 4:
                 acc(grad_refs[w], _mm_tn(h_in, d))          # dWh
                 acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
@@ -245,7 +307,7 @@ def _loss_elem(loss_type, pred, gt):
 
 
 def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
-                           interpret=None):
+                           interpret=None, stream=False):
     """ONE pallas call per training step: forward, loss, backward, gradient
     accumulation — a single HBM read of the batch, a single kernel launch.
 
@@ -254,19 +316,40 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     where loss_sum and sq_err_sum are SUMS over all B*out_dim real elements
     (divide loss_sum by B*out_dim for the mean the train step optimizes).
     B must be a multiple of batch_tile (asserted).
+
+    stream: the returned f becomes f(wb, feats [N,>=k_in], gt [B,out_dim],
+    start_row) and DMAs its batch tiles straight out of the full feature
+    table in HBM at a dynamic offset (scalar-prefetched block index) —
+    no dynamic_slice copy, no pad copy of the batch in XLA (those two
+    copies measured ~30% of the fused step at the cat scale). start_row
+    must be a multiple of batch_tile and start_row+B <= N. Columns past
+    k_in (when k_in isn't a lane multiple, e.g. 1023 -> block width 1024)
+    are DMA'd as whatever lies in the padded HBM layout and zeroed
+    in-kernel before use.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_wb = 2 * len(spec.weight_names())
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def kernel(x_ref, gt_ref, *refs):
+    def kernel(*all_refs):
+        if stream:
+            refs = all_refs[1:]  # all_refs[0] is the scalar-prefetch ref
+        else:
+            refs = all_refs
+        x_ref, gt_ref = refs[0], refs[1]
+        refs = refs[2:]
         wb_refs = refs[:n_wb]
         grad_refs = refs[n_wb:-2]
         loss_ref, sq_ref = refs[-2], refs[-1]
         wb = [r[:] for r in wb_refs]
 
         x = x_ref[:]
+        if stream and spec.k_in < spec.k_pad:
+            # zero the garbage lanes beyond k_in (the non-stream caller
+            # pads with real zeros instead)
+            col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            x = jnp.where(col < spec.k_in, x, jnp.zeros_like(x))
         gt = gt_ref[:]
         z, acts = _forward_layers(spec, x, wb)
         pred = jax.nn.sigmoid(z)
@@ -308,7 +391,7 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         d = _mm_nt(d, wb[out_slot])
 
         for i, w, n in reversed(slots):
-            d = d * (acts[i + 1] > 0.0)
+            d = d * (acts[i + 1].astype(jnp.float32) > 0.0)
             acc(grad_refs[w], _mm_tn(acts[i], d))
             acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
             if n == 4:
@@ -316,6 +399,16 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
                 acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
             if i > 0:
                 d = _mm_nt(d, wb[w])
+
+    out_shape_tail = (
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    )
+
+    def _unpack(outs):
+        grads = list(outs[:n_wb])
+        # sums over the B x out_dim REAL elements (padded cols contributed 0)
+        return grads, outs[n_wb][0, 0], outs[n_wb + 1][0, 0]
 
     def run(wb, x, gt):
         B = x.shape[0]
@@ -327,10 +420,7 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
         outs = pl.pallas_call(
             kernel,
-            out_shape=tuple(grad_shapes) + (
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            ),
+            out_shape=tuple(grad_shapes) + out_shape_tail,
             grid=(B // batch_tile,),
             in_specs=[
                 pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
@@ -342,13 +432,41 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             out_specs=tuple(const_spec() for _ in range(n_wb + 2)),
             interpret=interpret,
         )(x, gt_pad, *wb)
-        grads = list(outs[:n_wb])
-        # sums over the B x out_dim REAL elements (padded cols contributed 0)
-        loss_sum = outs[n_wb][0, 0]
-        sq_sum = outs[n_wb + 1][0, 0]
-        return grads, loss_sum, sq_sum
+        return _unpack(outs)
 
-    return run
+    def run_streaming(wb, feats, gt, start_row, batch_size):
+        assert batch_size % batch_tile == 0 and batch_size > 0
+        gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
+                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
+        grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        # block-index offset of the batch inside the feature table
+        off = (jnp.asarray(start_row, jnp.int32) // batch_tile).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch_size // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad),
+                             lambda i, off: (off[0] + i, 0)),
+                pl.BlockSpec((batch_tile, spec.out_pad), lambda i, off: (i, 0)),
+            ]
+            # weights/grads/scalars: full-array VMEM residents — a blocked
+            # spec would double-buffer them across grid steps (measured +6MB
+            # VMEM -> scoped-vmem OOM at tile 2048)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in wb],
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(n_wb + 2)
+            ),
+        )
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(grad_shapes) + out_shape_tail,
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(off, feats, gt_pad, *wb)
+        return _unpack(outs)
+
+    return run_streaming if stream else run
 
 
 def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):

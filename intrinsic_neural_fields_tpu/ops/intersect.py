@@ -220,6 +220,14 @@ def intersect_rays(
     tile_radius = jnp.where(
         empty_tile, -1.0, 0.5 * jnp.linalg.norm(jnp.where(empty_tile[:, None], 0.0, fmax - fmin), axis=-1)
     )
+    # Global scene AABB (over real faces only — padded tiles are +/-inf and
+    # drop out of the min/max). Every hit point lies inside it, so a ray's
+    # AABB *exit* distance upper-bounds any hit distance it can still find;
+    # rays that miss the AABB can't hit at all. Without this, one background
+    # ray in a packet (best_t = inf forever) blocks the front-to-back early
+    # exit and the packet sweeps every in-cone tile.
+    scene_min = jnp.min(fmin, axis=0)
+    scene_max = jnp.max(fmax, axis=0)
 
     def per_ray_tile(args):
         o, d = args  # [rt,3] each
@@ -255,6 +263,17 @@ def intersect_rays(
             t_lower = jnp.where(possible, t_lower, inf)
             visit_order = jnp.argsort(t_lower)             # near tiles first
             n_possible = jnp.sum(possible)
+
+            # Per-ray search cap: slab test against the scene AABB. The cap
+            # is the AABB exit distance (-inf for rays that miss the box —
+            # they cannot hit anything and stop gating the early exit).
+            d_safe = jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d < 0, -1e-12, 1e-12))
+            t1 = (scene_min[None, :] - o) / d_safe
+            t2 = (scene_max[None, :] - o) / d_safe
+            t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            in_box = t_far >= jnp.maximum(t_near, 0.0)
+            t_cap = jnp.where(in_box, t_far + 1e-4, -inf)  # [rt]
 
         def do_face_tile(i, carry):
             best_t, best_f, best_u, best_v = carry
@@ -337,8 +356,10 @@ def intersect_rays(
         def while_cond(state):
             k, carry = state
             more = k < n_possible
-            # max over best_t is inf while any ray is still unresolved
-            frontier_useful = t_lower[visit_order[k]] < jnp.max(carry[0])
+            # a tile is worth visiting while its lower bound undercuts some
+            # ray's remaining search window: min(best hit so far, AABB exit)
+            frontier = jnp.max(jnp.minimum(carry[0], t_cap))
+            frontier_useful = t_lower[visit_order[k]] < frontier
             return more & frontier_useful
 
         def while_body(state):

@@ -179,12 +179,17 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
             )
 
             if fused:
+                import optax as _optax
+
                 from ..ops.fused_mlp import (
                     FusedMLPSpec,
-                    grads_to_flax,
+                    grads_to_padded,
                     make_fused_train_grads,
-                    params_to_list,
+                    pad_flax_params,
+                    unpad_flax_params,
+                    wb_from_padded,
                 )
+                from ..train.steps import _pick_fused_tile
 
                 k_in = data.features.shape[1]
                 spec = FusedMLPSpec(
@@ -193,25 +198,62 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                     hidden=model.hidden_dim,
                     skip_idx=model.skip_layer_idx,
                 )
-                tile = 1024 if local_b % 1024 == 0 else local_b
-                fused_run = make_fused_train_grads(spec, loss_type, batch_tile=tile)
+                # Streaming kernel on the shard-local feature table (same
+                # scalar-prefetch DMA as train/steps.py — offsets are local
+                # to the device's own rows under shard_map).
+                fused_stream = data.hit_features.dtype in (jnp.bfloat16, jnp.float32)
+                x_bytes = 2 if data.hit_features.dtype == jnp.bfloat16 else 4
+                fused_run = make_fused_train_grads(
+                    spec, loss_type,
+                    batch_tile=_pick_fused_tile(
+                        spec, local_b, stream=fused_stream, x_bytes=x_bytes
+                    ),
+                    stream=fused_stream,
+                )
 
-            def fused_shard_step(carry, batch, state):
-                params, opt_state, acc_loss, acc_sq, acc_n = carry
-                x = batch["eigenfunctions"]
-                if x.dtype not in (jnp.bfloat16, jnp.float32):
-                    x = x.astype(jnp.float32)
-                x = jnp.pad(x, ((0, 0), (0, spec.k_pad - k_in)))
-                wb = params_to_list(spec, params)
-                grad_list, loss_sum, sq_sum = fused_run(wb, x, batch["expected_rgbs"])
+                def _pad_opt(opt_state, params):
+                    return _optax.tree_map_params(
+                        optimizer,
+                        lambda leaf, padded: jnp.zeros(padded.shape, leaf.dtype)
+                        .at[tuple(slice(0, s) for s in leaf.shape)].set(leaf),
+                        opt_state,
+                        pad_flax_params(spec, params),
+                    )
+
+                def _unpad_opt(opt_state, params):
+                    return _optax.tree_map_params(
+                        optimizer,
+                        lambda leaf, real: leaf[tuple(slice(0, s) for s in real.shape)],
+                        opt_state,
+                        params,
+                    )
+
+            def fused_shard_step(carry, data, start, state):
+                """params/opt ride the scan in padded space (see steps.py)."""
+                params_p, opt_state, acc_loss, acc_sq, acc_n = carry
+                wb = wb_from_padded(spec, params_p)
+                if fused_stream:
+                    gt = lax.dynamic_slice(
+                        data.expected_rgbs, (start, 0), (local_b, 3)
+                    )
+                    grad_list, loss_sum, sq_sum = fused_run(
+                        wb, data.hit_features, gt, start, local_b
+                    )
+                else:
+                    batch = slice_batch(data, start, local_b)
+                    x = batch["eigenfunctions"].astype(jnp.float32)
+                    x = jnp.pad(x, ((0, 0), (0, spec.k_pad - k_in)))
+                    grad_list, loss_sum, sq_sum = fused_run(
+                        wb, x, batch["expected_rgbs"]
+                    )
                 # fused grads are local-batch means; pmean = global batch mean
-                grads = lax.pmean(grads_to_flax(spec, grad_list), axis_name)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                grads = lax.pmean(grads_to_padded(spec, grad_list), axis_name)
+                updates, opt_state = optimizer.update(grads, opt_state, params_p)
+                params_p = optax.apply_updates(params_p, updates)
                 acc_loss = acc_loss + lax.psum(loss_sum, axis_name) / 3.0
                 acc_sq = acc_sq + lax.psum(sq_sum, axis_name)
                 acc_n = acc_n + jnp.float32(batch_size)
-                return (params, opt_state, acc_loss, acc_sq, acc_n)
+                return (params_p, opt_state, acc_loss, acc_sq, acc_n)
 
             def shard_fn(state, key, data, dev_ids):
                 dev = dev_ids[0]
@@ -220,13 +262,26 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 )
 
                 def step(carry, i):
-                    batch = slice_batch(data, block_order[i] * local_b, local_b)
                     if fused:
-                        return fused_shard_step(carry, batch, state), None
+                        return fused_shard_step(
+                            carry, data, block_order[i] * local_b, state
+                        ), None
+                    batch = slice_batch(data, block_order[i] * local_b, local_b)
                     w = jnp.ones((local_b,), jnp.float32)
                     return step_body(carry, batch, w, state), None
 
-                carry, _ = lax.scan(step, init_carry(state), jnp.arange(num_batches))
+                carry0 = init_carry(state)
+                if fused:
+                    carry0 = (
+                        pad_flax_params(spec, carry0[0]),
+                        _pad_opt(carry0[1], state.params),
+                    ) + carry0[2:]
+                carry, _ = lax.scan(step, carry0, jnp.arange(num_batches))
+                if fused:
+                    carry = (
+                        unpad_flax_params(spec, carry[0]),
+                        _unpad_opt(carry[1], state.params),
+                    ) + carry[2:]
                 return finish(carry, state)
 
             return shard_map(

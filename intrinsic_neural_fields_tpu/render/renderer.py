@@ -152,7 +152,7 @@ class Renderer:
             ))
             self._infer = jax.jit(shard_map(
                 self._infer_impl, mesh=self._mesh,
-                in_specs=(P(), P(), (Pd,) * 5), out_specs=(Pd, Pd),
+                in_specs=(P(), P(), (Pd,) * 5, P()), out_specs=(Pd, Pd),
                 check_vma=False,
             ))
         # Geometry-dependent per-view trace cache, LRU-bounded and keyed on
@@ -217,8 +217,12 @@ class Renderer:
         safe_face = jnp.take(self._face_orig_ids, safe_face_sorted)
         return vids, hits.bary, dirs, safe_face, hits.valid
 
-    def _infer_impl(self, variables, features, trace):
-        """Hit records -> ([Lpad,3] rgb f16, [Lpad] valid)."""
+    def _infer_impl(self, variables, features, trace, bg):
+        """Hit records -> ([Lpad,3] bg-composited rgb f16, [Lpad] valid).
+
+        bg is a traced scalar (not read from self at trace time): eval_cli
+        mutates renderer.background after construction, which must not be
+        baked into the cached executable."""
         vids, bary, dirs, safe_face, valid = trace
         Lpad = vids.shape[0]
         n_chunks = -(-Lpad // _INFER_CHUNK)
@@ -244,9 +248,14 @@ class Renderer:
             return self.model.apply(variables, batch)
 
         preds = lax.map(infer, chunked).reshape(-1, 3)[:Lpad]
-        # f16 on the wire: halves device->host traffic; quantization is
+        # Composite the background on device: the wire then carries ONE
+        # ready-to-scatter rgb array instead of preds + a separate valid
+        # fetch (the axon tunnel charges per byte and per round trip; the
+        # measured host+wire share of a cached 512^2 render was ~200 ms —
+        # larger than trace or inference). f16 on the wire: quantization is
         # ~5e-4 in [0,1] rgb, far below the 8-bit image grid.
-        return preds.astype(jnp.float16), valid
+        rgb = jnp.where(valid[:, None], preds.astype(jnp.float16), bg.astype(jnp.float16))
+        return rgb, valid
 
     def render(
         self,
@@ -316,18 +325,21 @@ class Renderer:
                 while len(self._trace_cache) > _TRACE_CACHE_MAX:
                     self._trace_cache.popitem(last=False)
 
-        preds, valid = self._infer(self.variables, self.features, trace)
-        preds_m = np.asarray(preds[:L], dtype=np.float32)
-        valid_m = np.asarray(valid[:L])
-        preds = np.empty_like(preds_m)
-        valid = np.empty_like(valid_m)
-        preds[morton] = preds_m
-        valid[morton] = valid_m
-
-        bg = 1.0 if self.background == "white" else 0.0
         assert self.background in ("white", "black")
-        img_masked = np.full((L, 3), bg, dtype=np.float32)
-        img_masked[valid] = preds[valid]
+        bg = 1.0 if self.background == "white" else 0.0
+        rgb_dev, valid_dev = self._infer(
+            self.variables, self.features, trace, jnp.float32(bg)
+        )
+        # ONE device->host fetch (the rgb already carries the background);
+        # valid rides along only when the caller needs hit indices.
+        if eval_render:
+            rgb_m, valid_m = jax.device_get((rgb_dev[:L], valid_dev[:L]))
+            valid = np.empty_like(valid_m)
+            valid[morton] = valid_m
+        else:
+            rgb_m = jax.device_get(rgb_dev[:L])
+        img_masked = np.empty((L, 3), dtype=np.float32)
+        img_masked[morton] = np.float32(rgb_m)
 
         if obj_mask_1d is not None:
             img = np.full((H * W, 3), bg, dtype=np.float32)

@@ -71,6 +71,36 @@ def fused_mlp_eligible(model):
     )
 
 
+def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
+    """Largest batch tile whose working set fits the ~16MB VMEM scope.
+
+    Bigger tiles amortize the kernel's per-program overheads (weight DMA,
+    small-matmul sequencing): at the canonical cat scale, tile 2048 measured
+    ~35% faster per step than 1024 (tools/profile_kernel_variants.py).
+    Budget: x tile + gt tile (double-buffered when the kernel streams tiles
+    from HBM via blocked specs), bf16 saved activations, weights and grad
+    accumulators, against 13MB to leave Mosaic scratch headroom.
+    """
+    w_bytes = 4 * sum(
+        spec.k_pad * spec.hidden if kind in ("input", "skip_x")
+        else spec.hidden * (spec.out_pad if kind == "out" else spec.hidden)
+        for _, kind in spec.weight_names()
+    )
+    dbuf = 2 if stream else 1
+    for tile in (2048, 1024, 512, 256):
+        if batch_size % tile:
+            continue
+        est = (
+            dbuf * tile * spec.k_pad * x_bytes         # x tile(s)
+            + dbuf * tile * spec.out_pad * 4           # gt tile(s)
+            + tile * spec.hidden * (spec.num_layers - 1) * 2  # bf16 saved acts
+            + 2 * w_bytes                              # weights + grad accums
+        )
+        if est <= 13 * 2**20:
+            return tile
+    return batch_size  # single-tile fallback (batch not divisible by 256)
+
+
 def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
     """Build (train_epoch, val_epoch), both jitted.
 
@@ -136,11 +166,15 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
         # lives in the XLA path); k_in is static at trace time.
         use_fused = fused and not has_tail
         if use_fused:
+            import optax as _optax
+
             from ..ops.fused_mlp import (
                 FusedMLPSpec,
-                grads_to_flax,
+                grads_to_padded,
                 make_fused_train_grads,
-                params_to_list,
+                pad_flax_params,
+                unpad_flax_params,
+                wb_from_padded,
             )
 
             k_in = data.features.shape[1]
@@ -150,29 +184,81 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
                 hidden=model.hidden_dim,
                 skip_idx=model.skip_layer_idx,
             )
-            tile = 1024 if batch_size % 1024 == 0 else batch_size
-            fused_run = make_fused_train_grads(spec, loss_type, batch_tile=tile)
+            # Blocks mode streams each batch tile straight from the HBM
+            # feature table at the shuffled block offset (scalar-prefetched
+            # DMA) — no dynamic_slice copy, no pad copy per step.
+            fused_stream = use_blocks and data.hit_features.dtype in (
+                jnp.bfloat16, jnp.float32
+            )
+            x_bytes = 2 if (
+                fused_stream and data.hit_features.dtype == jnp.bfloat16
+            ) else 4
+            fused_run = make_fused_train_grads(
+                spec, loss_type,
+                batch_tile=_pick_fused_tile(
+                    spec, batch_size, stream=fused_stream, x_bytes=x_bytes
+                ),
+                stream=fused_stream,
+            )
+
+        # The fused epoch's scan carry holds params and Adam state in PADDED
+        # ("wb") space: padding once per epoch makes the per-step kernel
+        # operand list a free restructuring (pad/slice copies measured ~10%
+        # of the fused step). Pads are zero, get zero grads, and stay zero
+        # under Adam, so the epoch-end unpad is exact.
+        def _fused_tail(carry, grad_list, loss_sum, sq_sum, opt_state):
+            params_p, _, batch_stats, acc_loss, acc_sq, acc_n = carry
+            grads = grads_to_padded(spec, grad_list)
+            updates, opt_state = optimizer.update(grads, opt_state, params_p)
+            params_p = optax.apply_updates(params_p, updates)
+            acc_loss = acc_loss + loss_sum / 3.0  # loss_sum/(B*3) * B
+            acc_sq = acc_sq + sq_sum
+            acc_n = acc_n + jnp.float32(batch_size)
+            return (params_p, opt_state, batch_stats, acc_loss, acc_sq, acc_n)
 
         def fused_step(carry, batch):
-            params, opt_state, batch_stats, acc_loss, acc_sq, acc_n = carry
+            params_p, opt_state = carry[0], carry[1]
             x = batch["eigenfunctions"]
             if x.dtype not in (jnp.bfloat16, jnp.float32):
                 x = x.astype(jnp.float32)
             # bf16 hit features go into the kernel as-is (the matmuls ingest
             # bf16 anyway) — no f32 copy of the batch materializes in HBM.
             x = jnp.pad(x, ((0, 0), (0, spec.k_pad - k_in)))
-            wb = params_to_list(spec, params)
+            wb = wb_from_padded(spec, params_p)
             grad_list, loss_sum, sq_sum = fused_run(wb, x, batch["expected_rgbs"])
-            grads = grads_to_flax(spec, grad_list)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            acc_loss = acc_loss + loss_sum / 3.0  # loss_sum/(B*3) * B
-            acc_sq = acc_sq + sq_sum
-            acc_n = acc_n + jnp.float32(batch_size)
-            return (params, opt_state, batch_stats, acc_loss, acc_sq, acc_n)
+            return _fused_tail(carry, grad_list, loss_sum, sq_sum, opt_state)
+
+        def fused_stream_step(carry, start):
+            """Kernel DMAs the feature tiles straight from HBM at `start`."""
+            params_p, opt_state = carry[0], carry[1]
+            gt = lax.dynamic_slice(data.expected_rgbs, (start, 0), (batch_size, 3))
+            wb = wb_from_padded(spec, params_p)
+            grad_list, loss_sum, sq_sum = fused_run(
+                wb, data.hit_features, gt, start, batch_size
+            )
+            return _fused_tail(carry, grad_list, loss_sum, sq_sum, opt_state)
+
+        def _pad_opt_state(opt_state):
+            return _optax.tree_map_params(
+                optimizer,
+                lambda leaf, padded: jnp.zeros(padded.shape, leaf.dtype)
+                .at[tuple(slice(0, s) for s in leaf.shape)].set(leaf),
+                opt_state,
+                pad_flax_params(spec, state.params),
+            )
+
+        def _unpad_opt_state(opt_state):
+            return _optax.tree_map_params(
+                optimizer,
+                lambda leaf, real: leaf[tuple(slice(0, s) for s in real.shape)],
+                opt_state,
+                state.params,
+            )
 
         def step(carry, i):
             params, opt_state, batch_stats, acc_loss, acc_sq, acc_n = carry
+            if use_fused and use_blocks and fused_stream:
+                return fused_stream_step(carry, block_order[i] * batch_size), None
             if use_blocks:
                 batch = slice_batch(data, block_order[i] * batch_size, batch_size)
                 w = jnp.ones((batch_size,), jnp.float32)
@@ -223,13 +309,21 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
             acc_sq = acc_sq + jnp.sum(jnp.sum((pred - gt) ** 2, axis=-1) * w)
             return (params, opt_state, batch_stats, acc_loss, acc_sq, acc_n + n_b), None
 
+        if use_fused:
+            init_params = pad_flax_params(spec, state.params)
+            init_opt = _pad_opt_state(state.opt_state)
+        else:
+            init_params, init_opt = state.params, state.opt_state
         init = (
-            state.params, state.opt_state, state.batch_stats,
+            init_params, init_opt, state.batch_stats,
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
         )
         (params, opt_state, batch_stats, acc_loss, acc_sq, acc_n), _ = lax.scan(
             step, init, jnp.arange(num_batches)
         )
+        if use_fused:
+            params = unpad_flax_params(spec, params)
+            opt_state = _unpad_opt_state(opt_state)
         metrics = {
             "loss": acc_loss / acc_n,
             "sq_err_per_sample": acc_sq / acc_n,

@@ -147,3 +147,86 @@ def test_fused_requires_eligible_model():
     optimizer = optax.adam(1e-3)
     with pytest.raises(AssertionError):
         make_epoch_fns(model, optimizer, "L1", fused=True)
+
+
+def test_streaming_kernel_matches_sliced():
+    """stream=True (scalar-prefetch DMA from the full HBM table at a dynamic
+    row offset) must produce the same grads/loss as the slice+pad path,
+    including in-kernel zeroing of the garbage lanes past k_in."""
+    from intrinsic_neural_fields_tpu.ops.fused_mlp import make_fused_train_grads
+
+    model, variables, spec, _ = _setup(k=31, batch=512)
+    N, B = 2048, 512
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(N, spec.k_in)).astype(np.float32)
+    gts = rng.uniform(size=(N, 3)).astype(np.float32)
+    wb = params_to_list(spec, variables["params"])
+
+    plain = make_fused_train_grads(spec, "L1", batch_tile=256)
+    stream = make_fused_train_grads(spec, "L1", batch_tile=256, stream=True)
+
+    for start in (0, 512, N - B):
+        x = jnp.pad(
+            jnp.asarray(feats[start:start + B]),
+            ((0, 0), (0, spec.k_pad - spec.k_in)),
+        )
+        g1, l1, s1 = plain(wb, x, jnp.asarray(gts[start:start + B]))
+        g2, l2, s2 = stream(
+            wb, jnp.asarray(feats), jnp.asarray(gts[start:start + B]),
+            jnp.int32(start), B,
+        )
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        np.testing.assert_allclose(float(s1), float(s2), rtol=1e-6)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_streaming_blocks_epoch_matches_xla():
+    """The full steps.py streaming path (fused + blocks shuffle) tracks the
+    XLA blocks path's loss curve."""
+    import optax
+
+    from intrinsic_neural_fields_tpu.data.sampler import RayData, precompute_hit_features
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        make_epoch_fns,
+    )
+
+    k, n = 33, 4096  # k NOT a lane multiple: exercises the garbage-lane mask
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(300, k)).astype(np.float32)
+    vids = rng.integers(0, 300, size=(n, 3)).astype(np.int32)
+    bary = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    W = rng.normal(size=(k, 3)).astype(np.float32) * 0.3
+    interp = np.einsum("bj,bjk->bk", bary, feats[vids])
+    rgbs = (1.0 / (1.0 + np.exp(-(interp @ W)))).astype(np.float32)
+    data = precompute_hit_features(RayData(
+        features=jnp.asarray(feats), feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(vids),
+        barycentric_coords=jnp.asarray(bary),
+        expected_rgbs=jnp.asarray(rgbs), unit_ray_dirs=None, face_idxs=None,
+    ))
+
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    curves = {}
+    for fused in (False, True):
+        tr, va = make_epoch_fns(model, optimizer, "L1", shuffle="blocks", fused=fused)
+        state = create_train_state(copy(variables), optimizer)
+        losses = []
+        for e in range(6):
+            state, m = tr(state, jax.random.PRNGKey(e), data, 8, 512)
+            losses.append(float(jax.device_get(m["loss"])))
+        curves[fused] = (losses, va(state, data, 512))
+
+    l_xla, v_xla = curves[False]
+    l_stream, v_stream = curves[True]
+    assert l_stream[-1] < 0.7 * l_stream[0], l_stream
+    np.testing.assert_allclose(l_stream, l_xla, rtol=0.02)
+    np.testing.assert_allclose(
+        float(v_stream["loss"]), float(v_xla["loss"]), rtol=0.02
+    )

@@ -54,6 +54,11 @@ def main():
     p.add_argument("path_to_mesh")
     p.add_argument("split")
     p.add_argument("--views", type=int, default=None, help="limit view count")
+    p.add_argument("--host_rays", type=int, default=1 << 15,
+                   help="per view, the host f64 oracle runs on a random "
+                        "subsample of this many rays (it traces ~10k rays/min "
+                        "on the 82k-face mesh — full views would take hours); "
+                        "its rays/s extrapolates, parity compares the subset")
     args = p.parse_args()
 
     views = read_split_list(args.dataset_path, args.split)
@@ -61,23 +66,45 @@ def main():
         views = views[: args.views]
     rays = gather_view_rays(args.dataset_path, views)
     n_rays = int(sum(o.shape[0] for o, _ in rays))
+    sub_rng = np.random.default_rng(0)
+    subsets = [
+        np.sort(sub_rng.choice(o.shape[0], min(args.host_rays, o.shape[0]), replace=False))
+        for o, _ in rays
+    ]
+    n_sub = int(sum(s.shape[0] for s in subsets))
 
     results = {}
     hits = {}
     for intersector in ("device", "host"):
         pre = MeshViewPreProcessor(args.path_to_mesh, "/tmp/_unused", intersector=intersector)
         if intersector == "device":
-            pre._intersect(*rays[0])  # compile outside the timed region
+            # compile outside the timed region: each distinct ray-count
+            # bucket is its own executable (~20-40s tunnel compile), so warm
+            # every view once — the steady state a full 100-view run reaches
+            # after its first few views.
+            for o, d in rays:
+                pre._intersect(o, d)
+            todo = rays
+        else:
+            todo = [(o[s], d[s]) for (o, d), s in zip(rays, subsets)]
         t0 = time.time()
-        per_view = [pre._intersect(o, d) for o, d in rays]
+        per_view = []
+        for vi, (o, d) in enumerate(todo):
+            per_view.append(pre._intersect(o, d))
+            print(f"[{intersector}] view {vi + 1}/{len(todo)} "
+                  f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
         wall = time.time() - t0
         hits[intersector] = per_view
         results[f"{intersector}_wall_s"] = round(wall, 3)
-        results[f"{intersector}_rays_per_s"] = round(n_rays / wall)
+        n_done = n_rays if intersector == "device" else n_sub
+        results[f"{intersector}_rays_per_s"] = round(n_done / wall)
 
     valid_agree = face_agree = both_valid = 0
     bary_max = t_max = 0.0
-    for (td, fd, bd, vd), (th, fh, bh, vh) in zip(hits["device"], hits["host"]):
+    for (td, fd, bd, vd), (th, fh, bh, vh), s in zip(
+        hits["device"], hits["host"], subsets
+    ):
+        td, fd, bd, vd = td[s], fd[s], bd[s], vd[s]
         valid_agree += int((vd == vh).sum())
         bv = vd & vh
         both_valid += int(bv.sum())
@@ -90,11 +117,14 @@ def main():
     results.update(
         n_views=len(views),
         n_rays=n_rays,
-        valid_agreement=round(valid_agree / n_rays, 6),
+        n_parity_rays=n_sub,
+        valid_agreement=round(valid_agree / n_sub, 6),
         face_agreement_among_valid=round(face_agree / max(both_valid, 1), 6),
         bary_max_abs_diff=float(f"{bary_max:.3e}"),
         t_max_abs_diff=float(f"{t_max:.3e}"),
-        speedup=round(results["host_wall_s"] / results["device_wall_s"], 1),
+        speedup_rays_per_s=round(
+            results["device_rays_per_s"] / max(results["host_rays_per_s"], 1), 1
+        ),
     )
     print(json.dumps(results))
 
