@@ -21,8 +21,13 @@ def interpolate_vertex_features(E, vertex_idxs_of_hit_faces, barycentric_coords)
     Returns [B, k] float32.
     """
     tri_feats = jnp.take(E, vertex_idxs_of_hit_faces, axis=0)  # B x 3 x k
+    # contraction always in f32 (matches precompute_hit_features' "gather in
+    # storage dtype, interpolate in f32" contract even for a bf16 table; the
+    # upcast fuses into the einsum)
     return jnp.einsum(
-        "bj,bjk->bk", barycentric_coords.astype(tri_feats.dtype), tri_feats
+        "bj,bjk->bk",
+        barycentric_coords.astype(jnp.float32),
+        tri_feats.astype(jnp.float32),
     )
 
 

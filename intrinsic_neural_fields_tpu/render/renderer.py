@@ -35,11 +35,13 @@ _TRACE_CACHE_MAX = 8       # LRU bound: device arrays per cached trace are
                            # long render_video session would accumulate HBM
 
 
-def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_devices=None):
+def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_devices=None,
+                                     wire_u8=False):
     """Rebuild a Renderer from a training out_dir (reference renderer.py:9-32).
 
     n_devices: shard every render D-way over a device mesh (see Renderer's
-    mesh_devices); None = single device."""
+    mesh_devices); None = single device. wire_u8: uint8 device->host color
+    transfers — for 8-bit sinks only (see Renderer)."""
     from ..models.factory import init_model, make_model
     from ..spectral.features import load_first_k_eigenfunctions
     from ..utils.checkpoint import load_checkpoint
@@ -78,6 +80,13 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_device
         H=config["data"]["img_height"],
         W=config["data"]["img_width"],
         mesh_devices=mesh_devices,
+        wire_u8=wire_u8,
+        # Render with the same feature precision the model was trained on
+        # (data.precompute_dtype: bfloat16 configs train on bf16 features);
+        # bf16 also cuts the per-view feature-gather time ~20% (the TPU row
+        # gather of wide f32 rows is the renderer's slowest primitive —
+        # tools/profile_infer.py).
+        feature_dtype=config["data"].get("precompute_dtype"),
     )
 
 
@@ -97,6 +106,8 @@ class Renderer:
         W,
         mesh_devices=None,
         shard_axis="data",
+        feature_dtype=None,
+        wire_u8=False,
     ):
         """mesh_devices: optional jax.sharding.Mesh. When given, tracing and
         inference are shard_map'd over its `shard_axis`: every padded ray
@@ -114,9 +125,22 @@ class Renderer:
         self.variables = variables
         self.mesh = mesh
         self.feature_strategy = feature_strategy
+        # wire_u8: ship rendered colors device->host as uint8 instead of
+        # f16. Bit-identical FINAL output for 8-bit image sinks (render_video
+        # frames, PNGs) since they quantize to the same grid; keep False for
+        # eval, whose metrics are computed on float images (reference
+        # eval.py:171-176).
+        self._wire_u8 = bool(wire_u8)
+        # feature_dtype: storage dtype of the feature table ("bfloat16" to
+        # match a precompute_dtype:bfloat16 training run; None = float32,
+        # the reference-parity default). Interpolation stays f32.
+        self._feature_dtype = (
+            jnp.bfloat16 if feature_dtype in ("bfloat16", jnp.bfloat16)
+            else jnp.float32
+        )
         if feature_strategy == "efuncs":
             assert eigenfunctions is not None
-            self.features = jnp.asarray(eigenfunctions, jnp.float32)
+            self.features = jnp.asarray(eigenfunctions, self._feature_dtype)
         elif feature_strategy in ("ff", "rff", "xyz"):
             self.features = jnp.asarray(mesh.vertices, jnp.float32)
         else:
@@ -181,7 +205,7 @@ class Renderer:
     def set_eigenfunctions(self, eigenfunctions):
         """Swap the eigenbasis (texture transfer / discretization change)."""
         assert self.feature_strategy == "efuncs"
-        self.features = jnp.asarray(eigenfunctions, jnp.float32)
+        self.features = jnp.asarray(eigenfunctions, self._feature_dtype)
 
     def _rays_from_indices(self, pix_idx, camCv2world, K, width):
         """Pixel indices -> rays on device (halves the host->device traffic
@@ -255,6 +279,10 @@ class Renderer:
         # larger than trace or inference). f16 on the wire: quantization is
         # ~5e-4 in [0,1] rgb, far below the 8-bit image grid.
         rgb = jnp.where(valid[:, None], preds.astype(jnp.float16), bg.astype(jnp.float16))
+        if self._wire_u8:
+            rgb = jnp.round(
+                jnp.clip(rgb.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
         return rgb, valid
 
     def render(
@@ -338,6 +366,8 @@ class Renderer:
             valid[morton] = valid_m
         else:
             rgb_m = jax.device_get(rgb_dev[:L])
+        if rgb_m.dtype == np.uint8:
+            rgb_m = rgb_m.astype(np.float32) / 255.0
         img_masked = np.empty((L, 3), dtype=np.float32)
         img_masked[morton] = np.float32(rgb_m)
 

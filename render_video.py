@@ -66,7 +66,11 @@ def fit_camera_to_resolution(cam_orig, res):
 def main():
     args = parse_args()
     config = load_config(args.config_path)
-    renderer = make_renderer_with_trained_model(config, n_devices=args.num_devices)
+    # uint8 color transfers: video frames are 8-bit, so the quantization is
+    # exactly the one the encoder would apply — halves the per-frame wire.
+    renderer = make_renderer_with_trained_model(
+        config, n_devices=args.num_devices, wire_u8=True
+    )
 
     camCv2world, K = load_extr_and_intr_camera(args.cameras_path)
     cam_orig = {

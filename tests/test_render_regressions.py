@@ -174,3 +174,33 @@ def test_sharded_render_bit_equal_to_single_device():
         single.render(cam, K, obj_mask_1d=mask),
         sharded.render(cam, K, obj_mask_1d=mask),
     )
+
+
+def test_bf16_feature_table_render_close_to_f32():
+    """feature_dtype='bfloat16' (matching a precompute_dtype:bfloat16 training
+    run) must render within bf16 quantization of the f32 table."""
+    r32, m, efuncs = _renderer(H=48, W=48, k=16)
+    r16 = Renderer(
+        r32.model, r32.variables, m, eigenfunctions=efuncs, H=48, W=48,
+        feature_dtype="bfloat16",
+    )
+    cam = _look_at_cam(np.array([0.4, -2.8, 0.7]))
+    K = _simple_K(48, 48)
+    img32 = r32.render(cam, K)
+    img16 = r16.render(cam, K)
+    err = np.abs(img32 - img16).max()
+    assert err < 0.02, err  # well under the 8-bit image grid (1/255 ~ 0.004 x few)
+
+
+def test_wire_u8_matches_8bit_quantized_f16():
+    """wire_u8=True must produce exactly the image an 8-bit sink would have
+    written from the f16-wire render."""
+    r, m, efuncs = _renderer(H=48, W=48, k=16)
+    r8 = Renderer(
+        r.model, r.variables, m, eigenfunctions=efuncs, H=48, W=48, wire_u8=True
+    )
+    cam = _look_at_cam(np.array([0.4, -2.8, 0.7]))
+    K = _simple_K(48, 48)
+    a = np.round(np.clip(r.render(cam, K), 0, 1) * 255).astype(np.uint8)
+    b = np.round(np.clip(r8.render(cam, K), 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(a, b)
