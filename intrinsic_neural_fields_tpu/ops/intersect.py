@@ -276,7 +276,7 @@ def intersect_rays(
             t_cap = jnp.where(in_box, t_far + 1e-4, -inf)  # [rt]
 
         def do_face_tile(i, carry):
-            best_t, best_f, best_u, best_v = carry
+            best_t, best_f = carry
             s = i * face_tile
             N = lax.dynamic_slice(fd.n, (s, 0), (face_tile, 3))
             A = lax.dynamic_slice(fd.a, (s, 0), (face_tile, 3))
@@ -323,28 +323,26 @@ def intersect_rays(
                 & (u + v <= 1.0 + B_EPS)
             )
             tm = jnp.where(hit, t, inf)
-            # Nearest hit via reductions + a first-winner mask: argmin with
-            # advanced indexing lowers to gathers, ~4x slower on TPU.
+            # Nearest hit via reductions + a first-winner column index:
+            # argmin with advanced indexing lowers to gathers, ~4x slower on
+            # TPU. The winner's (u,v) are NOT reduced here — they are
+            # recomputed once per ray after the traversal from the winning
+            # face's data (same inputs, same f32 op order -> bit-identical),
+            # which drops two masked-sum reduction kernels and two loop
+            # carries from the hot tile body.
             t_tile = jnp.min(tm, axis=1)                   # [rt]
             best = tm == t_tile[:, None]
             cols = lax.broadcasted_iota(jnp.int32, tm.shape, 1)
             j = jnp.min(jnp.where(best, cols, face_tile), axis=1)
-            first = best & (cols == j[:, None])
-            u_tile = jnp.sum(jnp.where(first, u, 0.0), axis=1)
-            v_tile = jnp.sum(jnp.where(first, v, 0.0), axis=1)
             better = t_tile < best_t
             best_t = jnp.where(better, t_tile, best_t)
             best_f = jnp.where(better, s.astype(jnp.int32) + j, best_f)
-            best_u = jnp.where(better, u_tile, best_u)
-            best_v = jnp.where(better, v_tile, best_v)
-            return best_t, best_f, best_u, best_v
+            return best_t, best_f
 
         rt = o.shape[0]
         init = (
             jnp.full((rt,), inf),
             jnp.full((rt,), -1, dtype=jnp.int32),
-            jnp.zeros((rt,)),
-            jnp.zeros((rt,)),
         )
 
         if not cull:
@@ -352,7 +350,11 @@ def intersect_rays(
 
         # Front-to-back packet traversal: visit surviving tiles in increasing
         # lower-bound distance and stop once every ray's current best hit is
-        # closer than anything the next tile could contain.
+        # closer than anything the next tile could contain. TWO tiles per
+        # loop iteration: the while_loop's per-iteration overhead (~5us) was
+        # ~40% of the traversal, and the only waste is at most one extra
+        # tile visit per packet (correctness is unaffected — extra visits
+        # are conservative).
         def while_cond(state):
             k, carry = state
             more = k < n_possible
@@ -362,20 +364,55 @@ def intersect_rays(
             frontier_useful = t_lower[visit_order[k]] < frontier
             return more & frontier_useful
 
+        last = jnp.int32(n_face_tiles - 1)
+
         def while_body(state):
             k, carry = state
-            return k + 1, do_face_tile(visit_order[k], carry)
+            carry = do_face_tile(visit_order[k], carry)
+            carry = do_face_tile(visit_order[jnp.minimum(k + 1, last)], carry)
+            return k + 2, carry
 
         _, carry = lax.while_loop(while_cond, while_body, (jnp.int32(0), init))
         return carry
 
-    best_t, best_f, best_u, best_v = lax.map(per_ray_tile, (origins_t, dirs_t))
-    best_t = best_t.reshape(-1)[:R] / dir_norm.reshape(-1)[:R]
+    best_t, best_f = lax.map(per_ray_tile, (origins_t, dirs_t))
+    t_norm = best_t.reshape(-1)[:R]          # loop-parameterization t
     best_f = best_f.reshape(-1)[:R]
-    best_u = jnp.clip(best_u.reshape(-1)[:R], 0.0, 1.0)
-    best_v = jnp.clip(best_v.reshape(-1)[:R], 0.0, 1.0)
+    valid = jnp.isfinite(t_norm)
 
-    valid = jnp.isfinite(best_t)
+    # Winner (u,v) recomputed once per ray from the winning face's data —
+    # same inputs and same f32 op order as the tile body, so the values are
+    # bit-identical to the ones the loop used for the inside test.
+    sf = jnp.where(valid, best_f, 0)
+    # one packed row gather instead of four narrow ones
+    if shared_origin:
+        packed = jnp.concatenate(
+            [fd.a, fd.b, oa_f[:, None], ob_f[:, None]], axis=1
+        )
+    else:
+        packed = jnp.concatenate(
+            [fd.a, fd.b, fd.a0[:, None], fd.b0[:, None]], axis=1
+        )
+    G = jnp.take(packed, sf, axis=0)         # [R,8]
+    A, B = G[:, 0:3], G[:, 3:6]
+    dA = dirs[:, 0] * A[:, 0] + dirs[:, 1] * A[:, 1] + dirs[:, 2] * A[:, 2]
+    dB = dirs[:, 0] * B[:, 0] + dirs[:, 1] * B[:, 1] + dirs[:, 2] * B[:, 2]
+    tsafe = jnp.where(valid, t_norm, 0.0)
+    if shared_origin:
+        best_u = G[:, 6] + tsafe * dA
+        best_v = G[:, 7] + tsafe * dB
+    else:
+        oA = (
+            origins[:, 0] * A[:, 0] + origins[:, 1] * A[:, 1] + origins[:, 2] * A[:, 2]
+        )
+        oB = (
+            origins[:, 0] * B[:, 0] + origins[:, 1] * B[:, 1] + origins[:, 2] * B[:, 2]
+        )
+        best_u = oA + tsafe * dA - G[:, 6]
+        best_v = oB + tsafe * dB - G[:, 7]
+    best_u = jnp.clip(jnp.where(valid, best_u, 0.0), 0.0, 1.0)
+    best_v = jnp.clip(jnp.where(valid, best_v, 0.0), 0.0, 1.0)
+    best_t = t_norm / dir_norm.reshape(-1)[:R]
     bary = jnp.stack([1.0 - best_u - best_v, best_u, best_v], axis=-1)
     bary = jnp.clip(bary, 0.0, 1.0)
     bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
