@@ -20,15 +20,18 @@ def interpolate_vertex_features(E, vertex_idxs_of_hit_faces, barycentric_coords)
       barycentric_coords: [B, 3] float.
     Returns [B, k] float32.
     """
-    tri_feats = jnp.take(E, vertex_idxs_of_hit_faces, axis=0)  # B x 3 x k
-    # contraction always in f32 (matches precompute_hit_features' "gather in
-    # storage dtype, interpolate in f32" contract even for a bf16 table; the
-    # upcast fuses into the einsum)
-    return jnp.einsum(
-        "bj,bjk->bk",
-        barycentric_coords.astype(jnp.float32),
-        tri_feats.astype(jnp.float32),
-    )
+    # Three row gathers folded into a multiply-add chain instead of one
+    # [B,3,k] gather + einsum: the 3-tensor intermediate cost a reshape copy
+    # and a separate reduction kernel (~40% of the renderer's device-side
+    # inference, tools/trace_infer.py). Same f32 math in the same j=0,1,2
+    # order. Contraction always in f32 (matches precompute_hit_features'
+    # "gather in storage dtype, interpolate in f32" contract even for a
+    # bf16 table).
+    b = barycentric_coords.astype(jnp.float32)
+    f0 = jnp.take(E, vertex_idxs_of_hit_faces[:, 0], axis=0).astype(jnp.float32)
+    f1 = jnp.take(E, vertex_idxs_of_hit_faces[:, 1], axis=0).astype(jnp.float32)
+    f2 = jnp.take(E, vertex_idxs_of_hit_faces[:, 2], axis=0).astype(jnp.float32)
+    return b[:, 0:1] * f0 + b[:, 1:2] * f1 + b[:, 2:3] * f2
 
 
 def hit_points_xyz(vertices, vertex_idxs_of_hit_faces, barycentric_coords):
