@@ -79,7 +79,10 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
     ~35% faster per step than 1024 (tools/profile_kernel_variants.py).
     Budget: x tile + gt tile (double-buffered when the kernel streams tiles
     from HBM via blocked specs), bf16 saved activations, weights and grad
-    accumulators, against 13MB to leave Mosaic scratch headroom.
+    accumulators, against 10MB: Mosaic's actual scoped allocation runs
+    ~1.35x this estimate plus ~2MB of matmul scratch (measured: k=512
+    stream tile 2048 estimated 10.5MB and compiled to a 16.31MB scoped
+    allocation — 320KB over the 16MB limit).
     """
     w_bytes = 4 * sum(
         spec.k_pad * spec.hidden if kind in ("input", "skip_x")
@@ -96,7 +99,7 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
             + tile * spec.hidden * (spec.num_layers - 1) * 2  # bf16 saved acts
             + 2 * w_bytes                              # weights + grad accums
         )
-        if est <= 13 * 2**20:
+        if est <= 10 * 2**20:
             return tile
     return batch_size  # single-tile fallback (batch not divisible by 256)
 
