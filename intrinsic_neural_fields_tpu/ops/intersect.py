@@ -350,11 +350,13 @@ def intersect_rays(
 
         # Front-to-back packet traversal: visit surviving tiles in increasing
         # lower-bound distance and stop once every ray's current best hit is
-        # closer than anything the next tile could contain. TWO tiles per
+        # closer than anything the next tile could contain. FOUR tiles per
         # loop iteration: the while_loop's per-iteration overhead (~5us) was
-        # ~40% of the traversal, and the only waste is at most one extra
-        # tile visit per packet (correctness is unaffected — extra visits
-        # are conservative).
+        # ~40% of the traversal at one tile per iteration (89.8 -> 56.9 ms
+        # at two, -> 50.9 ms at four for the 512^2/82k trace); the only
+        # waste is up to three extra tile visits per packet against a ~20
+        # visit average (correctness is unaffected — extra visits are
+        # conservative).
         def while_cond(state):
             k, carry = state
             more = k < n_possible
@@ -370,7 +372,9 @@ def intersect_rays(
             k, carry = state
             carry = do_face_tile(visit_order[k], carry)
             carry = do_face_tile(visit_order[jnp.minimum(k + 1, last)], carry)
-            return k + 2, carry
+            carry = do_face_tile(visit_order[jnp.minimum(k + 2, last)], carry)
+            carry = do_face_tile(visit_order[jnp.minimum(k + 3, last)], carry)
+            return k + 4, carry
 
         _, carry = lax.while_loop(while_cond, while_body, (jnp.int32(0), init))
         return carry
