@@ -233,3 +233,20 @@ def test_streaming_blocks_epoch_matches_xla():
     np.testing.assert_allclose(
         float(v_stream["loss"]), float(v_xla["loss"]), rtol=0.04
     )
+
+
+def test_fused_tile_budget_choices():
+    """Pin the VMEM-budget tile choices: k=512 streaming at tile 2048
+    compiled to a 16.31MB scoped allocation (over the 16MB limit) before the
+    budget fix — it must pick 1024; small-k configs keep the faster 2048."""
+    from intrinsic_neural_fields_tpu.train.steps import _pick_fused_tile
+
+    def spec_for(k):
+        return FusedMLPSpec(num_layers=6, k_in=k, hidden=128, skip_idx=3)
+
+    assert _pick_fused_tile(spec_for(512), 4096, stream=True, x_bytes=2) == 1024
+    assert _pick_fused_tile(spec_for(1023), 4096, stream=True, x_bytes=2) == 1024
+    assert _pick_fused_tile(spec_for(128), 4096, stream=True, x_bytes=2) == 2048
+    assert _pick_fused_tile(spec_for(256), 4096, stream=True, x_bytes=2) == 2048
+    # non-power-of-two batches fall back to a single whole-batch tile
+    assert _pick_fused_tile(spec_for(128), 300, stream=True, x_bytes=2) == 300
