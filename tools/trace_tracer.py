@@ -27,6 +27,8 @@ def main():
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--out", default="/tmp/tracer_profile")
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--ray_tile", type=int, default=1024)
+    p.add_argument("--face_tile", type=int, default=256)
     args = p.parse_args()
 
     import jax
@@ -55,7 +57,8 @@ def main():
     vj, fj = jnp.asarray(verts), jnp.asarray(faces)
 
     def run():
-        h = intersect_rays(vj, fj, o, d, shared_origin=True)
+        h = intersect_rays(vj, fj, o, d, shared_origin=True,
+                           ray_tile=args.ray_tile, face_tile=args.face_tile)
         jax.block_until_ready(h)
         return float(jax.device_get(jnp.sum(h.t[jnp.isfinite(h.t)])))
 
