@@ -54,7 +54,7 @@ class MeshViewPreProcessor:
         # Pinhole views: every ray starts at the camera center, so the
         # origin-side contractions hoist out of the hot loop (~35% faster).
         # Checked, not assumed — distorted pixels still share the origin.
-        shared = bool(np.all(origins == origins[0]))
+        shared = L > 0 and bool(np.all(origins == origins[0]))
         hits = intersect_rays(
             self._verts_f32, self._faces, o, d, shared_origin=shared
         )

@@ -318,11 +318,14 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     B must be a multiple of batch_tile (asserted).
 
     stream: the returned f becomes f(wb, feats [N,>=k_in], gt [B,out_dim],
-    start_row) and DMAs its batch tiles straight out of the full feature
-    table in HBM at a dynamic offset (scalar-prefetched block index) —
-    no dynamic_slice copy, no pad copy of the batch in XLA (those two
-    copies measured ~30% of the fused step at the cat scale). start_row
-    must be a multiple of batch_tile and start_row+B <= N. Columns past
+    start_row, batch_size) and DMAs its batch tiles straight out of the full
+    feature table in HBM at a dynamic offset (scalar-prefetched block index)
+    — no dynamic_slice copy, no pad copy of the batch in XLA (those two
+    copies measured ~30% of the fused step at the cat scale). batch_size is
+    STATIC (B; it sizes the grid); start_row is traced, must be a multiple
+    of batch_tile with start_row+B <= N — alignment is asserted when
+    start_row is a Python int and otherwise unchecked (a misaligned traced
+    offset would silently read wrong rows). Columns past
     k_in (when k_in isn't a lane multiple, e.g. 1023 -> block width 1024)
     are DMA'd as whatever lies in the padded HBM layout and zeroed
     in-kernel before use.
@@ -436,6 +439,11 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
 
     def run_streaming(wb, feats, gt, start_row, batch_size):
         assert batch_size % batch_tile == 0 and batch_size > 0
+        if isinstance(start_row, int):
+            assert start_row % batch_tile == 0, (
+                f"start_row {start_row} must be a multiple of batch_tile "
+                f"{batch_tile} (the DMA block index truncates otherwise)"
+            )
         gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
                          ((0, 0), (0, spec.out_pad - spec.out_dim)))
         grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]

@@ -273,7 +273,11 @@ def intersect_rays(
             t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
             t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
             in_box = t_far >= jnp.maximum(t_near, 0.0)
-            t_cap = jnp.where(in_box, t_far + 1e-4, -inf)  # [rt]
+            # Relative + absolute slack: an absolute epsilon alone can be
+            # smaller than the f32 rounding gap between the plane-hit t and
+            # the slab exit t at large coordinate scales (t ~ 1e3+), which
+            # would let the cap drop a true hit near the box silhouette.
+            t_cap = jnp.where(in_box, t_far * (1 + 1e-5) + 1e-4, -inf)  # [rt]
 
         def do_face_tile(i, carry):
             best_t, best_f = carry
@@ -386,7 +390,10 @@ def intersect_rays(
 
     # Winner (u,v) recomputed once per ray from the winning face's data —
     # same inputs and same f32 op order as the tile body, so the values are
-    # bit-identical to the ones the loop used for the inside test.
+    # bit-identical to the ones the loop used for the inside test. (That
+    # claim holds for mxu=False, the only production path: with mxu=True the
+    # in-loop dA/dB come from an MXU dot_general while this recompute uses
+    # VPU FMAs, so the last bits can differ.)
     sf = jnp.where(valid, best_f, 0)
     # one packed row gather instead of four narrow ones
     if shared_origin:

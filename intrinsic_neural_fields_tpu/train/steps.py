@@ -89,7 +89,11 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
         else spec.hidden * (spec.out_pad if kind == "out" else spec.hidden)
         for _, kind in spec.weight_names()
     )
-    dbuf = 2 if stream else 1
+    # Both paths pipeline the per-grid-step x/gt operands: stream mode
+    # double-buffers its HBM DMAs, and the non-stream kernel's x/gt use
+    # grid-blocked BlockSpecs which Pallas double-buffers across grid steps
+    # just the same. Budget 2x in either case.
+    dbuf = 2
     for tile in (2048, 1024, 512, 256):
         if batch_size % tile:
             continue

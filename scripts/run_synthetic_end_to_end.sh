@@ -10,7 +10,7 @@
 set -e
 
 if [ "$1" == "--quick" ]; then
-  DIR=data/synthetic; CFG=configs/synthetic/intrinsic_blob.yaml
+  DIR=data/synthetic; CFG=configs/synthetic/intrinsic_blob_smoke.yaml
   python tools/make_synthetic_dataset.py $DIR --H 128 --W 128 --n_train 10
   python preprocess_eigenfunctions.py $DIR/efuncs $DIR/blob.obj 128
 else

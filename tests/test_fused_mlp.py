@@ -250,3 +250,9 @@ def test_fused_tile_budget_choices():
     assert _pick_fused_tile(spec_for(256), 4096, stream=True, x_bytes=2) == 2048
     # non-power-of-two batches fall back to a single whole-batch tile
     assert _pick_fused_tile(spec_for(128), 300, stream=True, x_bytes=2) == 300
+    # non-stream kernels also double-buffer their grid-blocked x/gt specs:
+    # k=512 f32 non-stream at tile 2048 is ~15MB real footprint — must pick
+    # 1024 (a dbuf=1 estimate would wrongly choose 2048 and OOM the scope)
+    assert _pick_fused_tile(spec_for(512), 4096, stream=False, x_bytes=4) == 1024
+    # k=1023 f32: the double-buffered x tiles alone are 8.4MB at tile 1024
+    assert _pick_fused_tile(spec_for(1023), 4096, stream=False, x_bytes=4) == 512

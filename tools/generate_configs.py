@@ -162,7 +162,7 @@ def synthetic():
     """A runnable-here config for the synthetic blob dataset
     (tools/make_synthetic_dataset.py) — the only data available in this repo."""
     return {
-        "synthetic/intrinsic_blob.yaml": {
+        "synthetic/intrinsic_blob_smoke.yaml": {
             "seed": 0,
             "data": {
                 "preproc_data_path_train": "data/synthetic/preprocessed/train",
@@ -177,7 +177,7 @@ def synthetic():
             },
             "model": {"k": 128, "num_layers": 6, "mlp_hidden_dim": 128, "skip_layer_idx": 3},
             "training": {
-                "out_dir": "out/synthetic/intrinsic_blob",
+                "out_dir": "out/synthetic/intrinsic_blob_smoke",
                 "batch_size": 4096,
                 "lr": 1e-4,
                 "loss_type": "L1",
@@ -191,6 +191,17 @@ def synthetic():
     }
 
 
+# Comment headers prepended to generated files (yaml.safe_dump drops comments).
+HEADERS = {
+    "synthetic/intrinsic_blob_smoke.yaml": (
+        "# SMOKE CONFIG — pipeline check only, NOT a quality reference.\n"
+        "# k=128 on a 2562-vertex mesh is representation-limited and\n"
+        "# overfits (val ~19 dB). For quality numbers use\n"
+        "# configs/synthetic/intrinsic_blob_hq.yaml (44+ dB test PSNR).\n"
+    ),
+}
+
+
 def main():
     all_cfgs = {}
     for fn in (texture_reconstruction, discretization_agnostic, shape_descriptors,
@@ -200,6 +211,8 @@ def main():
         path = os.path.join(ROOT, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
+            if rel in HEADERS:
+                f.write(HEADERS[rel])
             yaml.safe_dump(cfg, f, default_flow_style=None, sort_keys=False)
     print(f"Wrote {len(all_cfgs)} configs under {os.path.abspath(ROOT)}")
 

@@ -147,8 +147,8 @@ python preprocess_eigenfunctions.py data/synthetic/efuncs data/synthetic/blob.ob
 for split in train val test; do
   python preprocess_dataset.py data/synthetic/preprocessed data/synthetic/blob.obj data/synthetic $split
 done
-python train.py configs/synthetic/intrinsic_blob.yaml --allow_checkpoint_loading
-python eval.py out/synthetic/intrinsic_blob/test_eval configs/synthetic/intrinsic_blob.yaml data/synthetic test
+python train.py configs/synthetic/intrinsic_blob_smoke.yaml --allow_checkpoint_loading
+python eval.py out/synthetic/intrinsic_blob_smoke/test_eval configs/synthetic/intrinsic_blob_smoke.yaml data/synthetic test
 """,
     )
     print("Scripts written.")
