@@ -1,22 +1,38 @@
 """Offline view preprocessing: views -> 5-array ray cache.
 
 TPU-native rework of the reference's MeshViewPreProcessor (mesh.py:431-570):
-ray-mesh intersection runs batched on the device via ops.intersect (instead
-of Embree on the host), results are compacted with numpy masks (instead of a
-per-hit Python loop, reference mesh.py:521-526), and the output contract is
-the same five .npy files so caches interoperate with the reference.
+ray generation AND ray-mesh intersection run as ONE jitted device computation
+per view (instead of Embree on the host), results are compacted with numpy
+masks (instead of a per-hit Python loop, reference mesh.py:521-526), and the
+output contract is the same five .npy files so caches interoperate with the
+reference.
+
+Wire discipline (the axon tunnel moves ~30MB/s): only the masked pixel
+coordinates go up (f32 [L,2]) — rays are generated on device inside the trace
+jit — and only the hit records come down. Unit ray directions for the cache
+are recomputed on the host (same math, numpy). Views are PIPELINED: view i's
+hit fetch and host-side filtering overlap view i+1's on-device trace via
+JAX's async dispatch, so the chip never waits for the wire.
 """
 from __future__ import annotations
 
 import os
+from collections import deque
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..geometry.cameras import DistortionTypes, undistort_pixels_meshroom_radial_k3
 from ..geometry.mesh import load_mesh
 from ..ops.intersect import intersect_rays, intersect_rays_numpy
-from ..ops.ray_gen import pixel_grid_coords, ray_origins_and_directions
+from ..ops.ray_gen import (
+    pixel_grid_coords,
+    ray_origins_and_directions,
+    unit_ray_dirs_numpy,
+)
+
+_PIPELINE_DEPTH = 2
 
 
 class MeshViewPreProcessor:
@@ -32,6 +48,8 @@ class MeshViewPreProcessor:
         self.intersector = intersector
         self._verts_f32 = jnp.asarray(self.mesh.vertices, jnp.float32)
         self._faces = jnp.asarray(self.mesh.faces)
+        self._trace_jit = jax.jit(self._trace_view)
+        self._pending = deque()
 
         self.cache_face_idxs = []
         self.cache_vertex_idxs_of_hit_faces = []
@@ -39,31 +57,15 @@ class MeshViewPreProcessor:
         self.cache_expected_rgbs = []
         self.cache_unit_ray_dirs = []
 
-    def _intersect(self, origins, dirs):
-        """Returns dense (t, face_idx, bary, valid) numpy arrays."""
-        if self.intersector == "host":
-            return intersect_rays_numpy(self.mesh.vertices, self.mesh.faces, origins, dirs)
-        # Bucket-pad the ray count so jit compiles once per bucket, not once
-        # per view (mask sizes differ view to view). Edge padding keeps the
-        # culling cones tight.
-        L = origins.shape[0]
-        bucket = 1 << 15
-        Lpad = -(-L // bucket) * bucket
-        o = np.pad(origins, ((0, Lpad - L), (0, 0)), mode="edge")
-        d = np.pad(dirs, ((0, Lpad - L), (0, 0)), mode="edge")
-        # Pinhole views: every ray starts at the camera center, so the
-        # origin-side contractions hoist out of the hot loop (~35% faster).
-        # Checked, not assumed — distorted pixels still share the origin.
-        shared = L > 0 and bool(np.all(origins == origins[0]))
-        hits = intersect_rays(
-            self._verts_f32, self._faces, o, d, shared_origin=shared
-        )
-        return (
-            np.asarray(hits.t)[:L],
-            np.asarray(hits.face_idx)[:L],
-            np.asarray(hits.bary)[:L],
-            np.asarray(hits.valid)[:L],
-        )
+    def _trace_view(self, verts, faces, camCv2world, K, coords):
+        """Device side: pixel coords -> rays -> first hits. Pinhole rays all
+        start at the camera center, so the tracer's shared-origin hoist always
+        applies (undistortion changes coords, not the origin)."""
+        origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
+        return intersect_rays(verts, faces, origins, dirs, shared_origin=True)
+
+    def _intersect_host(self, origins, dirs):
+        return intersect_rays_numpy(self.mesh.vertices, self.mesh.faces, origins, dirs)
 
     def cache_single_view(
         self,
@@ -76,7 +78,9 @@ class MeshViewPreProcessor:
         distortion_type=None,
     ):
         """Cast rays through masked pixels, intersect, filter, accumulate
-        (reference mesh.py:451-526)."""
+        (reference mesh.py:451-526). Device mode only DISPATCHES the trace;
+        the fetch/filter of up to _PIPELINE_DEPTH older views is drained
+        first (and fully at write_to_disk), overlapping wire with compute."""
         camCv2world = np.asarray(camCv2world, dtype=np.float32)
         K = np.asarray(K, dtype=np.float32)
         mask = np.asarray(mask)
@@ -94,12 +98,76 @@ class MeshViewPreProcessor:
             else:
                 raise ValueError(f"Unknown distortion type: {distortion_type}")
 
-        origins, unit_ray_dirs = ray_origins_and_directions(camCv2world, K, coords)
-        origins = np.asarray(origins)
-        unit_ray_dirs = np.asarray(unit_ray_dirs)
+        # Host mirror of the device ray math — only the VALID rows end up in
+        # the cache, which a fixed-shape device computation cannot produce.
+        unit_ray_dirs = unit_ray_dirs_numpy(camCv2world, K, coords)
+        L = coords.shape[0]
 
-        t, face_idx, bary, valid = self._intersect(origins, unit_ray_dirs)
+        if self.intersector == "host":
+            origins = np.broadcast_to(
+                camCv2world[:3, 3].astype(np.float64), (L, 3)
+            )
+            t, face_idx, bary, valid = self._intersect_host(origins, unit_ray_dirs)
+            self._finalize_view(
+                camCv2world, t, face_idx, bary, valid,
+                expected_rgbs, unit_ray_dirs, mask, depth_check,
+            )
+            return
 
+        hits = self._dispatch_trace(camCv2world, K, coords)
+        self._pending.append(
+            (hits, L, camCv2world, expected_rgbs, unit_ray_dirs, mask, depth_check)
+        )
+        while len(self._pending) > _PIPELINE_DEPTH:
+            self._drain_one()
+
+    def _dispatch_trace(self, camCv2world, K, coords):
+        """Asynchronously dispatch one view's ray-gen + trace; returns device
+        Hits (padded — slice to the real ray count after fetching).
+
+        Bucket-pads the ray count so jit compiles once per bucket, not once
+        per view (mask sizes differ view to view). Edge padding keeps the
+        culling cones tight."""
+        L = coords.shape[0]
+        bucket = 1 << 15
+        Lpad = max(-(-L // bucket) * bucket, bucket)
+        c = np.pad(coords.astype(np.float32), ((0, Lpad - L), (0, 0)), mode="edge")
+        return self._trace_jit(
+            self._verts_f32, self._faces,
+            np.asarray(camCv2world, np.float32), np.asarray(K, np.float32), c,
+        )
+
+    def _intersect_coords(self, camCv2world, K, coords):
+        """Synchronous device trace of one view's pixel coords — returns
+        (t, face_idx, bary, valid) numpy arrays (benchmark/parity entry)."""
+        L = coords.shape[0]
+        hits = self._dispatch_trace(camCv2world, K, coords)
+        t, face_idx, bary, valid = jax.device_get(
+            (hits.t, hits.face_idx, hits.bary, hits.valid)
+        )
+        return t[:L], face_idx[:L], bary[:L], valid[:L]
+
+    def _drain_one(self):
+        (hits, L, camCv2world, expected_rgbs, unit_ray_dirs, mask,
+         depth_check) = self._pending.popleft()
+        # t crosses the wire only when the depth check needs it
+        if depth_check is not None:
+            t, face_idx, bary, valid = jax.device_get(
+                (hits.t, hits.face_idx, hits.bary, hits.valid)
+            )
+            t = t[:L]
+        else:
+            face_idx, bary, valid = jax.device_get(
+                (hits.face_idx, hits.bary, hits.valid)
+            )
+            t = None
+        self._finalize_view(
+            camCv2world, t, face_idx[:L], bary[:L], valid[:L],
+            expected_rgbs, unit_ray_dirs, mask, depth_check,
+        )
+
+    def _finalize_view(self, camCv2world, t, face_idx, bary, valid,
+                       expected_rgbs, unit_ray_dirs, mask, depth_check):
         if depth_check is not None:
             # Reject hits whose ray-traced depth deviates from the dataset's
             # GT depth by more than 1% of the mean (reference mesh.py:479-499).
@@ -107,6 +175,9 @@ class MeshViewPreProcessor:
             cam44 = np.eye(4, dtype=np.float64)
             cam44[:3, :4] = camCv2world[:3, :4]
             world2cam = np.linalg.inv(cam44)
+            origins = np.broadcast_to(
+                camCv2world[:3, 3].astype(np.float64), unit_ray_dirs.shape
+            )
             p_world = origins + t[:, None] * unit_ray_dirs
             z_cam = (p_world @ world2cam[2, :3]) + world2cam[2, 3]
             outlier_thres = np.mean(depth_masked[valid]) * 1e-2
@@ -128,6 +199,8 @@ class MeshViewPreProcessor:
         self.cache_unit_ray_dirs.append(unit_ray_dirs[valid].astype(np.float32))
 
     def write_to_disk(self):
+        while self._pending:
+            self._drain_one()
         os.makedirs(self.out_dir, exist_ok=True)
 
         def _save(name, chunks):

@@ -21,7 +21,10 @@ from .metrics import dssim, psnr
 
 
 def evaluate_views(output_path, config, dataset_path, split, background="white",
-                   lpips_weights_path=None, n_devices=None):
+                   lpips_weights_path=None, n_devices=None, renderer=None):
+    """renderer: optional pre-built Renderer (texture transfer / cross-
+    discretization evaluation swaps the mesh and eigenbasis first — the
+    metrics protocol is unchanged)."""
     H, W = config["data"]["img_height"], config["data"]["img_width"]
 
     dataset_type = config["data"].get("type")
@@ -32,7 +35,8 @@ def evaluate_views(output_path, config, dataset_path, split, background="white",
     else:
         raise NotImplementedError(f"Unknown dataset type: {dataset_type}")
 
-    renderer = make_renderer_with_trained_model(config, n_devices=n_devices)
+    if renderer is None:
+        renderer = make_renderer_with_trained_model(config, n_devices=n_devices)
     renderer.background = background
 
     lpips_fn = LPIPS() if lpips_weights_path is None else LPIPS(lpips_weights_path)
@@ -47,15 +51,19 @@ def evaluate_views(output_path, config, dataset_path, split, background="white",
     totals = {"psnr": 0.0, "dssim_rescaled": 0.0, "lpips_rescaled": 0.0}
     total = 0
 
-    for i, batch in enumerate(dataset):
+    # Pipelined view loop: view i+1's trace+inference is dispatched before
+    # view i's colors are fetched and its (host-side) metrics computed, so
+    # the device never idles on the wire or on SSIM convolutions. Async
+    # dispatch is a pure reordering — results are identical to the serial
+    # loop.
+    from collections import deque
+
+    pending = deque()
+
+    def _finish(i, batch, handle):
+        nonlocal total
         view_id = f"{i:03d}"
-        fake_img, hit_ray_idxs = renderer.render(
-            batch["camCv2world"],
-            batch["K"],
-            eval_render=True,
-            distortion_coeffs=batch.get("distortion_params"),
-            distortion_type=batch.get("distortion_type"),
-        )
+        fake_img, hit_ray_idxs = renderer.render_fetch(handle)
 
         hit_ray_mask = np.zeros(H * W, dtype=bool)
         hit_ray_mask[hit_ray_idxs] = True
@@ -86,6 +94,22 @@ def evaluate_views(output_path, config, dataset_path, split, background="white",
         imwrite(os.path.join(output_path, f"{view_id}_fake_raw.png"), fake_img_raw)
         imwrite(os.path.join(output_path, f"{view_id}_fake.png"), fake_img)
         imwrite(os.path.join(output_path, f"{view_id}_real.png"), real_img)
+
+    for i, batch in enumerate(dataset):
+        pending.append((
+            i, batch,
+            renderer.render_async(
+                batch["camCv2world"],
+                batch["K"],
+                eval_render=True,
+                distortion_coeffs=batch.get("distortion_params"),
+                distortion_type=batch.get("distortion_type"),
+            ),
+        ))
+        if len(pending) > 1:
+            _finish(*pending.popleft())
+    while pending:
+        _finish(*pending.popleft())
 
     with open(os.path.join(output_path, "evaluation_metrics.pkl"), "wb") as f:
         pickle.dump(eval_metrics_results, f)

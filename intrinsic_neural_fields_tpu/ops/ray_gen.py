@@ -9,6 +9,7 @@ XLA requires static shapes.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -20,6 +21,24 @@ def pixel_grid_coords(H, W, dtype=np.float32):
     """
     x, y = np.meshgrid(np.arange(W), np.arange(H))  # default 'xy'
     return np.stack([x.reshape(-1), y.reshape(-1)], axis=-1).astype(dtype)
+
+
+def unit_ray_dirs_numpy(camCv2world, K, pixel_coords):
+    """Host mirror of ray_origins_and_directions' direction math (numpy f32).
+
+    Used by the preprocessor to build the unit_ray_dirs.npy cache without
+    shipping the device-generated directions back over the wire; may differ
+    from the device values in the last ulp (different normalize kernels),
+    which is far below the cache's consumers' sensitivity (view-direction
+    encodings)."""
+    cam = np.asarray(camCv2world, dtype=np.float32)
+    K3 = np.asarray(K, dtype=np.float32)[:3, :3]
+    coords = np.asarray(pixel_coords, dtype=np.float32)
+    homog = np.concatenate(
+        [coords, np.ones((coords.shape[0], 1), np.float32)], axis=-1
+    )
+    dirs = homog @ (cam[:3, :3] @ np.linalg.inv(K3)).T
+    return (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)).astype(np.float32)
 
 
 def ray_origins_and_directions(camCv2world, K, pixel_coords):
@@ -43,7 +62,11 @@ def ray_origins_and_directions(camCv2world, K, pixel_coords):
 
     K_inv = jnp.linalg.inv(K3)
     R = camCv2world[:3, :3]
-    dirs = homog @ (R @ K_inv).T  # L x 3
+    # HIGHEST precision: TPU matmuls default to bf16-level rounding, which
+    # perturbs ray directions by ~1e-3 — visible against the f64 oracle at
+    # silhouettes. The contraction is K=3, so full precision is ~free.
+    M = jnp.matmul(R, K_inv, precision=jax.lax.Precision.HIGHEST)
+    dirs = jnp.matmul(homog, M.T, precision=jax.lax.Precision.HIGHEST)  # L x 3
     unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
     origins = jnp.broadcast_to(camCv2world[:3, 3], (L, 3))

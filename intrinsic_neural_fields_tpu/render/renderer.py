@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -33,6 +34,20 @@ _INFER_CHUNK = 1 << 13     # model/feature-gather chunk inside the jit
 _TRACE_CACHE_MAX = 8       # LRU bound: device arrays per cached trace are
                            # ~Lpad*(3+3+3+1+1)*4B; unbounded growth over a
                            # long render_video session would accumulate HBM
+
+
+class _PendingRender(NamedTuple):
+    """An in-flight render dispatched by Renderer.render_async: device arrays
+    plus the host-side scatter metadata render_fetch needs to finish."""
+    rgb_dev: object
+    valid_dev: object
+    morton: object
+    L: int
+    obj_mask_1d: object
+    bg: float
+    H: int
+    W: int
+    eval_render: bool
 
 
 def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_devices=None,
@@ -304,6 +319,31 @@ class Renderer:
         same view (e.g. the trainer's TensorBoard views each epoch); only the
         model inference reruns. The cache is invalidated on geometry changes.
         """
+        return self.render_fetch(
+            self.render_async(
+                camCv2world, K, obj_mask_1d=obj_mask_1d,
+                eval_render=eval_render, distortion_coeffs=distortion_coeffs,
+                distortion_type=distortion_type, cache_key=cache_key,
+            )
+        )
+
+    def render_async(
+        self,
+        camCv2world,
+        K,
+        obj_mask_1d=None,
+        eval_render=False,
+        distortion_coeffs=None,
+        distortion_type=None,
+        cache_key=None,
+    ):
+        """Dispatch one view's render and return a pending handle WITHOUT
+        waiting for the device or the wire. `render_fetch(handle)` completes
+        it. JAX dispatch is asynchronous, so a caller that dispatches view
+        i+1 before fetching view i overlaps view i's device->host transfer
+        (the dominant cost on a tunneled chip — RESULTS.md) with view i+1's
+        on-device trace+inference. render() == render_fetch(render_async()).
+        """
         H, W = self.H, self.W
         if obj_mask_1d is not None:
             obj_mask_1d = np.asarray(obj_mask_1d).reshape(-1)
@@ -358,26 +398,38 @@ class Renderer:
         rgb_dev, valid_dev = self._infer(
             self.variables, self.features, trace, jnp.float32(bg)
         )
-        # ONE device->host fetch (the rgb already carries the background);
-        # valid rides along only when the caller needs hit indices.
-        if eval_render:
-            rgb_m, valid_m = jax.device_get((rgb_dev[:L], valid_dev[:L]))
+        return _PendingRender(
+            rgb_dev=rgb_dev, valid_dev=valid_dev, morton=morton, L=L,
+            obj_mask_1d=obj_mask_1d, bg=bg, H=H, W=W, eval_render=eval_render,
+        )
+
+    def render_fetch(self, pending):
+        """Complete a render_async dispatch: ONE device->host fetch (the rgb
+        already carries the background; valid rides along only when the
+        caller needs hit indices), then the host scatter."""
+        L, morton, H, W, bg = (
+            pending.L, pending.morton, pending.H, pending.W, pending.bg
+        )
+        if pending.eval_render:
+            rgb_m, valid_m = jax.device_get(
+                (pending.rgb_dev[:L], pending.valid_dev[:L])
+            )
             valid = np.empty_like(valid_m)
             valid[morton] = valid_m
         else:
-            rgb_m = jax.device_get(rgb_dev[:L])
+            rgb_m = jax.device_get(pending.rgb_dev[:L])
         if rgb_m.dtype == np.uint8:
             rgb_m = rgb_m.astype(np.float32) / 255.0
         img_masked = np.empty((L, 3), dtype=np.float32)
         img_masked[morton] = np.float32(rgb_m)
 
-        if obj_mask_1d is not None:
+        if pending.obj_mask_1d is not None:
             img = np.full((H * W, 3), bg, dtype=np.float32)
-            img[obj_mask_1d] = img_masked
+            img[pending.obj_mask_1d] = img_masked
         else:
             img = img_masked
 
         img = img.reshape(H, W, 3)
-        if eval_render:
+        if pending.eval_render:
             return img, np.nonzero(valid)[0]
         return img

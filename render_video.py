@@ -91,13 +91,31 @@ def main():
 
     num_images = int(args.fps * args.duration)
     angles = np.linspace(0, args.turns * 360, num_images)
+    # Pipelined render loop: dispatch frame i+1..i+depth before fetching
+    # frame i, so the device computes the next frames while frame i crosses
+    # the (slow) device->host wire. JAX's async dispatch makes this a pure
+    # reordering — frames are bit-identical to the serial loop.
+    from collections import deque
+
+    depth = 2
+    pending = deque()
+
+    def drain_one():
+        idx, handle = pending.popleft()
+        imwrite(join(image_folder, f"{idx:04d}.jpg"), renderer.render_fetch(handle))
+
     for idx, a in enumerate(angles):
         st, ct = np.sin(np.deg2rad(a)), np.cos(np.deg2rad(a))
         pose_obj = np.eye(4, dtype=np.float32)
         pose_obj[:3, :3] = np.array([[ct, -st, 0], [st, ct, 0], [0, 0, 1]])
         pose_render = pose_obj @ cam44
-        view = renderer.render(pose_render[:3], cam_render["K"])
-        imwrite(join(image_folder, f"{idx:04d}.jpg"), view)
+        pending.append(
+            (idx, renderer.render_async(pose_render[:3], cam_render["K"]))
+        )
+        if len(pending) > depth:
+            drain_one()
+    while pending:
+        drain_one()
 
     import shutil as _shutil
 

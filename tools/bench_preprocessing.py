@@ -23,6 +23,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
 from intrinsic_neural_fields_tpu.data.datasets import read_split_list
 from intrinsic_neural_fields_tpu.data.preprocess import MeshViewPreProcessor
 from intrinsic_neural_fields_tpu.ops.ray_gen import (
@@ -33,7 +35,10 @@ from intrinsic_neural_fields_tpu.utils.io import load_cameras, load_obj_mask_as_
 
 
 def gather_view_rays(dataset_path, views):
-    """Masked-pixel rays per view, as the preprocessor would cast them."""
+    """Masked-pixel rays per view, as the preprocessor would cast them.
+    Returns (cam, K, coords, origins, dirs) per view: the device path takes
+    the coords (rays are generated on device inside its trace jit), the host
+    oracle takes explicit origins/dirs."""
     out = []
     for view in views:
         view_path = os.path.join(dataset_path, view)
@@ -44,7 +49,10 @@ def gather_view_rays(dataset_path, views):
         origins, dirs = ray_origins_and_directions(
             np.asarray(camCv2world, np.float32), np.asarray(K, np.float32), coords
         )
-        out.append((np.asarray(origins), np.asarray(dirs)))
+        out.append((
+            np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
+            coords, np.asarray(origins), np.asarray(dirs),
+        ))
     return out
 
 
@@ -65,39 +73,58 @@ def main():
     if args.views:
         views = views[: args.views]
     rays = gather_view_rays(args.dataset_path, views)
-    n_rays = int(sum(o.shape[0] for o, _ in rays))
+    n_rays = int(sum(c.shape[0] for _, _, c, _, _ in rays))
     sub_rng = np.random.default_rng(0)
     subsets = [
-        np.sort(sub_rng.choice(o.shape[0], min(args.host_rays, o.shape[0]), replace=False))
-        for o, _ in rays
+        np.sort(sub_rng.choice(c.shape[0], min(args.host_rays, c.shape[0]), replace=False))
+        for _, _, c, _, _ in rays
     ]
     n_sub = int(sum(s.shape[0] for s in subsets))
 
     results = {}
     hits = {}
-    for intersector in ("device", "host"):
-        pre = MeshViewPreProcessor(args.path_to_mesh, "/tmp/_unused", intersector=intersector)
-        if intersector == "device":
-            # compile outside the timed region: each distinct ray-count
-            # bucket is its own executable (~20-40s tunnel compile), so warm
-            # every view once — the steady state a full 100-view run reaches
-            # after its first few views.
-            for o, d in rays:
-                pre._intersect(o, d)
-            todo = rays
-        else:
-            todo = [(o[s], d[s]) for (o, d), s in zip(rays, subsets)]
-        t0 = time.time()
-        per_view = []
-        for vi, (o, d) in enumerate(todo):
-            per_view.append(pre._intersect(o, d))
-            print(f"[{intersector}] view {vi + 1}/{len(todo)} "
-                  f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-        wall = time.time() - t0
-        hits[intersector] = per_view
-        results[f"{intersector}_wall_s"] = round(wall, 3)
-        n_done = n_rays if intersector == "device" else n_sub
-        results[f"{intersector}_rays_per_s"] = round(n_done / wall)
+
+    # Device path: coords-only uplink + pipelined dispatch/fetch, exactly the
+    # CLI's steady-state flow (data/preprocess.py cache_single_view).
+    pre = MeshViewPreProcessor(args.path_to_mesh, "/tmp/_unused")
+    # compile outside the timed region: each distinct ray-count bucket is its
+    # own executable (~20-40s tunnel compile), so warm every view once — the
+    # steady state a full 100-view run reaches after its first few views.
+    for cam, K, c, _, _ in rays:
+        pre._intersect_coords(cam, K, c)
+    t0 = time.time()
+    pend = []
+    per_view = []
+
+    def drain(p):
+        h, L = p
+        t, f, b, v = jax.device_get((h.t, h.face_idx, h.bary, h.valid))
+        per_view.append((t[:L], f[:L], b[:L], v[:L]))
+
+    for vi, (cam, K, c, _, _) in enumerate(rays):
+        pend.append((pre._dispatch_trace(cam, K, c), c.shape[0]))
+        if len(pend) > 2:
+            drain(pend.pop(0))
+        print(f"[device] view {vi + 1}/{len(rays)} "
+              f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    while pend:
+        drain(pend.pop(0))
+    wall = time.time() - t0
+    hits["device"] = per_view
+    results["device_wall_s"] = round(wall, 3)
+    results["device_rays_per_s"] = round(n_rays / wall)
+
+    # Host float64 oracle on the parity subsets.
+    t0 = time.time()
+    per_view = []
+    for vi, ((_, _, _, o, d), s) in enumerate(zip(rays, subsets)):
+        per_view.append(pre._intersect_host(o[s], d[s]))
+        print(f"[host] view {vi + 1}/{len(rays)} "
+              f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    wall = time.time() - t0
+    hits["host"] = per_view
+    results["host_wall_s"] = round(wall, 3)
+    results["host_rays_per_s"] = round(n_sub / wall)
 
     valid_agree = face_agree = both_valid = 0
     bary_max = t_max = 0.0
