@@ -477,6 +477,243 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     return run_streaming if stream else run
 
 
+def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
+                          interpret=None, b1=0.9, b2=0.999, eps=1e-8):
+    """The streaming fused step with the ADAM UPDATE FOLDED INTO THE KERNEL:
+    forward, loss, backward, gradient accumulation, and the optimizer update
+    run as ONE pallas call — gradients never leave VMEM, and the optax tree
+    update (measured ~23 us/step of the 97.6 us fused step at cat scale,
+    RESULTS.md) disappears from the step entirely.
+
+    Returns f(wb, m, v, hyper, feats, gt, start_row, batch_size) ->
+      (new_wb list, new_m list, new_v list, loss_sum, sq_sum)
+
+    wb/m/v: padded kernel-layout lists (params_to_list layout; m/v are the
+    optax ScaleByAdamState mu/nu in the same layout). hyper: [1, 128] f32 —
+    lane 0 = learning rate, lane 1 = 1/(1-b1^t), lane 2 = 1/(1-b2^t) for the
+    step's (1-based) count t; the caller precomputes them (one vectorized op
+    per epoch), which keeps the kernel free of scalar transcendentals.
+
+    Memory plan (the VMEM scope is ~16MB): weights are VMEM residents and
+    gradients accumulate in VMEM scratch exactly like make_fused_train_grads;
+    m/v stay in HBM (at k=1023 they are 2x1.3MB — VMEM-resident copies would
+    bust the scope at the fast batch tile) and are DMA'd through two
+    max-array-sized staging buffers in the FINAL grid program only. Updated
+    weights are written back through the (by then consumed) gradient scratch.
+    new_wb/new_m/new_v are input-output aliased, so the update is in-place at
+    the HBM level — the epoch scan carries the same buffers.
+
+    Numerics match optax.adam with default betas/eps: mu=(1-b1)g+b1*mu,
+    nu=(1-b2)g^2+b2*nu, update = lr * mu_hat / (sqrt(nu_hat) + eps). The
+    factory's optimizer (optax.inject_hyperparams(optax.adam)(lr)) is exactly
+    this; loss-curve parity vs the XLA path is tested.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    names = spec.weight_names()
+    n_wb = 2 * len(names)
+
+    # kernel-layout shapes, in wb order (W, b alternating)
+    shapes = []
+    for _, role in names:
+        if role in ("input", "skip_x"):
+            shapes.append((spec.k_pad, spec.hidden))
+        elif role == "out":
+            shapes.append((spec.hidden, spec.out_pad))
+        else:
+            shapes.append((spec.hidden, spec.hidden))
+        shapes.append((1, spec.out_pad if role == "out" else spec.hidden))
+    stage_shape = (
+        max(s[0] for s in shapes), max(s[1] for s in shapes)
+    )
+
+    def kernel(*all_refs):
+        off_ref = all_refs[0]  # scalar prefetch (block offset)
+        refs = all_refs[1:]
+        x_ref, gt_ref = refs[0], refs[1]
+        refs = refs[2:]
+        wb_refs = refs[:n_wb]
+        # inputs m/v (ANY, aliased to the outputs) are accessed through the
+        # output refs — same buffers
+        hyper_ref = refs[3 * n_wb]
+        outs = refs[3 * n_wb + 1:]
+        new_wb_refs = outs[:n_wb]               # ANY (aliased to wb's HBM)
+        new_m_refs = outs[n_wb:2 * n_wb]        # ANY
+        new_v_refs = outs[2 * n_wb:3 * n_wb]    # ANY
+        loss_ref, sq_ref = outs[3 * n_wb], outs[3 * n_wb + 1]
+        scratch = outs[3 * n_wb + 2:]
+        grad_refs = scratch[:n_wb]
+        m_stage, v_stage, sem_m, sem_v, sem_w = scratch[n_wb:]
+
+        wb = [r[:] for r in wb_refs]
+
+        x = x_ref[:]
+        if spec.k_in < spec.k_pad:
+            col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            x = jnp.where(col < spec.k_in, x, jnp.zeros_like(x))
+        gt = gt_ref[:]
+        z, acts = _forward_layers(spec, x, wb)
+        pred = jax.nn.sigmoid(z)
+
+        step = pl.program_id(0)
+        num_programs = pl.num_programs(0)
+        n_total = num_programs * batch_tile * spec.out_dim
+
+        col = lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+        valid = col < spec.out_dim
+        loss_val = jnp.sum(jnp.where(valid, _loss_elem(loss_type, pred, gt), 0.0))
+        sq_val = jnp.sum(jnp.where(valid, (pred - gt) ** 2, 0.0))
+
+        def acc(ref, val):
+            @pl.when(step == 0)
+            def _():
+                ref[:] = val
+
+            @pl.when(step != 0)
+            def _():
+                ref[:] = ref[:] + val
+
+        acc(loss_ref, loss_val.reshape(1, 1))
+        acc(sq_ref, sq_val.reshape(1, 1))
+
+        g = jnp.where(valid, _loss_grad_elem(loss_type, pred, gt, 1.0 / n_total), 0.0)
+        d = g * pred * (1.0 - pred)
+
+        slots = []
+        w = 0
+        for i in range(spec.num_layers - 1):
+            n = 4 if i == spec.skip_idx else 2
+            slots.append((i, w, n))
+            w += n
+        out_slot = w
+
+        acc(grad_refs[out_slot], _mm_tn(acts[-1], d))
+        acc(grad_refs[out_slot + 1], jnp.sum(d, axis=0, keepdims=True))
+        d = _mm_nt(d, wb[out_slot])
+
+        for i, w, n in reversed(slots):
+            d = d * (acts[i + 1].astype(jnp.float32) > 0.0)
+            acc(grad_refs[w], _mm_tn(acts[i], d))
+            acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
+            if n == 4:
+                acc(grad_refs[w + 2], _mm_tn(x, d))
+                acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
+            if i > 0:
+                d = _mm_nt(d, wb[w])
+
+        @pl.when(step == num_programs - 1)
+        def _adam():
+            lr = hyper_ref[0, 0]
+            c1 = hyper_ref[0, 1]   # 1/(1-b1^t)
+            c2 = hyper_ref[0, 2]   # 1/(1-b2^t)
+            for idx in range(n_wb):
+                a, b = shapes[idx]
+                ms = m_stage.at[:a, :b]
+                vs = v_stage.at[:a, :b]
+                cp_m = pltpu.make_async_copy(new_m_refs[idx], ms, sem_m)
+                cp_v = pltpu.make_async_copy(new_v_refs[idx], vs, sem_v)
+                cp_m.start()
+                cp_v.start()
+                cp_m.wait()
+                cp_v.wait()
+                # Row-chunked update: whole-array SSA temporaries here put
+                # multiple 512KB values live at once and blew Mosaic's scoped
+                # VMEM stack (measured 16.6MB > 16MB at k=1023); 128-row
+                # chunks keep the live set at ~64KB slices.
+                for r0 in range(0, a, 128):
+                    r1 = min(r0 + 128, a)
+                    sl = (slice(r0, r1), slice(0, b))
+                    gval = grad_refs[idx][sl]
+                    m_new = (1.0 - b1) * gval + b1 * m_stage[sl]
+                    v_new = (1.0 - b2) * (gval * gval) + b2 * v_stage[sl]
+                    upd = (lr * (m_new * c1)) / (jnp.sqrt(v_new * c2) + eps)
+                    # grads are consumed — reuse the scratch as the DMA
+                    # source for the updated weights
+                    grad_refs[idx][sl] = wb_refs[idx][sl] - upd
+                    m_stage[sl] = m_new
+                    v_stage[sl] = v_new
+                cp_mo = pltpu.make_async_copy(ms, new_m_refs[idx], sem_m)
+                cp_vo = pltpu.make_async_copy(vs, new_v_refs[idx], sem_v)
+                cp_wo = pltpu.make_async_copy(grad_refs[idx], new_wb_refs[idx], sem_w)
+                cp_mo.start()
+                cp_vo.start()
+                cp_wo.start()
+                cp_mo.wait()
+                cp_vo.wait()
+                cp_wo.wait()
+
+    out_shape_tail = (
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    )
+
+    def run(wb, m, v, hyper, feats, gt, start_row, batch_size):
+        assert batch_size % batch_tile == 0 and batch_size > 0
+        if isinstance(start_row, int):
+            assert start_row % batch_tile == 0
+        gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
+                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
+        wb_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        off = (jnp.asarray(start_row, jnp.int32) // batch_tile).reshape(1)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch_size // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad),
+                             lambda i, off: (off[0] + i, 0)),
+                pl.BlockSpec((batch_tile, spec.out_pad), lambda i, off: (i, 0)),
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in wb]   # weights
+            + [any_spec for _ in range(2 * n_wb)]                   # m, v
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)],              # hyper
+            out_specs=tuple([any_spec] * (3 * n_wb))
+            + (pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+            scratch_shapes=[pltpu.VMEM(s, jnp.float32) for s in shapes]
+            + [
+                pltpu.VMEM(stage_shape, jnp.float32),
+                pltpu.VMEM(stage_shape, jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        # flat input order: [off, x, gt, wb*(n_wb), m*(n_wb), v*(n_wb), hyper]
+        # aliases: wb_i -> out i, m_i -> out n_wb+i, v_i -> out 2*n_wb+i
+        aliases = {}
+        for i in range(n_wb):
+            aliases[3 + i] = i
+            aliases[3 + n_wb + i] = n_wb + i
+            aliases[3 + 2 * n_wb + i] = 2 * n_wb + i
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(wb_shapes) * 3 + out_shape_tail,
+            grid_spec=grid_spec,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(off, feats, gt_pad, *wb, *m, *v, hyper)
+        new_wb = list(outs[:n_wb])
+        new_m = list(outs[n_wb:2 * n_wb])
+        new_v = list(outs[2 * n_wb:3 * n_wb])
+        return new_wb, new_m, new_v, outs[3 * n_wb][0, 0], outs[3 * n_wb + 1][0, 0]
+
+    return run
+
+
+def adam_hyper_rows(counts, learning_rate, b1=0.9, b2=0.999):
+    """[T, 128] f32 hyper rows for make_fused_train_adam, one per step.
+
+    counts: [T] int/float 1-BASED Adam step numbers (optax count_inc).
+    Computed once per epoch outside the scan; row t carries
+    (lr, 1/(1-b1^t), 1/(1-b2^t)) in lanes 0..2."""
+    t = jnp.asarray(counts, jnp.float32)[:, None]
+    lr = jnp.broadcast_to(jnp.asarray(learning_rate, jnp.float32), t.shape)
+    c1 = 1.0 / (1.0 - jnp.power(jnp.float32(b1), t))
+    c2 = 1.0 / (1.0 - jnp.power(jnp.float32(b2), t))
+    zeros = jnp.zeros((t.shape[0], 125), jnp.float32)
+    return jnp.concatenate([lr, c1, c2, zeros], axis=1)
+
+
 def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):
     """Returns apply(wb_list, x_padded) -> rgb [B, out_dim] with custom VJP.
 

@@ -71,7 +71,7 @@ def fused_mlp_eligible(model):
     )
 
 
-def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
+def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
     """Largest batch tile whose working set fits the ~16MB VMEM scope.
 
     Bigger tiles amortize the kernel's per-program overheads (weight DMA,
@@ -94,6 +94,12 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
     # grid-blocked BlockSpecs which Pallas double-buffers across grid steps
     # just the same. Budget 2x in either case.
     dbuf = 2
+    # In-kernel Adam (make_fused_train_adam) adds two max-array-sized m/v
+    # staging buffers; weights + grad scratch are already the 2*w_bytes term
+    # (m/v themselves stay in HBM).
+    adam_bytes = (
+        2 * 4 * spec.k_pad * max(spec.hidden, spec.out_pad) if adam else 0
+    )
     for tile in (2048, 1024, 512, 256):
         if batch_size % tile:
             continue
@@ -102,13 +108,29 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2):
             + dbuf * tile * spec.out_pad * 4           # gt tile(s)
             + tile * spec.hidden * (spec.num_layers - 1) * 2  # bf16 saved acts
             + 2 * w_bytes                              # weights + grad accums
+            + adam_bytes
         )
         if est <= 10 * 2**20:
             return tile
     return batch_size  # single-tile fallback (batch not divisible by 256)
 
 
-def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
+def _adam_opt_view(opt_state):
+    """(lr, ScaleByAdamState, inner_state tuple) when opt_state is the
+    factory's optax.inject_hyperparams(optax.adam)(lr) state; None for any
+    other optimizer (structure probed at trace time, not runtime)."""
+    try:
+        lr = opt_state.hyperparams["learning_rate"]
+        inner = opt_state.inner_state
+        adam = inner[0]
+        adam.mu, adam.nu, adam.count  # noqa: B018 — attribute probe
+    except (AttributeError, KeyError, TypeError, IndexError):
+        return None
+    return lr, adam, inner
+
+
+def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
+                   fused_adam=True):
     """Build (train_epoch, val_epoch), both jitted.
 
     train_epoch(state, key, data, num_batches, batch_size)
@@ -131,6 +153,13 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
       Requires fused_mlp_eligible(model) and full batches (a ragged tail
       epoch silently uses the XLA path). Gradient numerics match the XLA
       path's default TPU matmul precision (bf16 inputs, f32 accumulation).
+    fused_adam:
+      additionally fold the Adam update into the kernel's final grid program
+      (ops/fused_mlp.make_fused_train_adam): gradients stay in VMEM scratch,
+      params/m/v update in place via input-output aliasing — the per-step
+      optax tree update disappears. Applies only on the streaming blocks
+      path when the optimizer is the factory's Adam (default betas); any
+      other optimizer silently keeps the optax update.
     """
     assert shuffle in ("full", "blocks")
     if fused:
@@ -172,12 +201,15 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
         # Fused Pallas step: needs full batches (the weighted-tail accounting
         # lives in the XLA path); k_in is static at trace time.
         use_fused = fused and not has_tail
+        use_kernel_adam = False
         if use_fused:
             import optax as _optax
 
             from ..ops.fused_mlp import (
                 FusedMLPSpec,
+                adam_hyper_rows,
                 grads_to_padded,
+                make_fused_train_adam,
                 make_fused_train_grads,
                 pad_flax_params,
                 unpad_flax_params,
@@ -200,12 +232,82 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False):
             x_bytes = 2 if (
                 fused_stream and data.hit_features.dtype == jnp.bfloat16
             ) else 4
-            fused_run = make_fused_train_grads(
-                spec, loss_type,
-                batch_tile=_pick_fused_tile(
-                    spec, batch_size, stream=fused_stream, x_bytes=x_bytes
-                ),
-                stream=fused_stream,
+            # In-kernel Adam: only on the streaming path, only for the
+            # factory's Adam optimizer (structure probed at trace time).
+            adam_view = _adam_opt_view(state.opt_state)
+            use_kernel_adam = bool(
+                fused_stream and fused_adam and adam_view is not None
+            )
+            if use_kernel_adam:
+                adam_run = make_fused_train_adam(
+                    spec, loss_type,
+                    batch_tile=_pick_fused_tile(
+                        spec, batch_size, stream=True, x_bytes=x_bytes,
+                        adam=True,
+                    ),
+                )
+            else:
+                fused_run = make_fused_train_grads(
+                    spec, loss_type,
+                    batch_tile=_pick_fused_tile(
+                        spec, batch_size, stream=fused_stream, x_bytes=x_bytes
+                    ),
+                    stream=fused_stream,
+                )
+
+        if use_kernel_adam:
+            # Whole-epoch in-kernel-Adam scan: the carry is (wb, m, v) in the
+            # kernel's padded layout (updated IN PLACE by the aliased pallas
+            # outputs) plus the loss accumulators; hyper rows (lr and the
+            # bias-correction factors per step) are precomputed vectorized.
+            lr_hp, adam_state, adam_inner = adam_view
+            wb0 = wb_from_padded(spec, pad_flax_params(spec, state.params))
+            m0 = wb_from_padded(spec, pad_flax_params(spec, adam_state.mu))
+            v0 = wb_from_padded(spec, pad_flax_params(spec, adam_state.nu))
+            hyper_all = adam_hyper_rows(
+                adam_state.count + 1 + jnp.arange(num_batches), lr_hp
+            )
+
+            def kernel_adam_step(carry, i):
+                wb, m, v, acc_loss, acc_sq, acc_n = carry
+                start = block_order[i] * batch_size
+                gt = lax.dynamic_slice(
+                    data.expected_rgbs, (start, 0), (batch_size, 3)
+                )
+                hyper = lax.dynamic_slice(hyper_all, (i, 0), (1, 128))
+                wb, m, v, loss_sum, sq_sum = adam_run(
+                    wb, m, v, hyper, data.hit_features, gt, start, batch_size
+                )
+                return (
+                    wb, m, v,
+                    acc_loss + loss_sum / 3.0,   # loss_sum/(B*3) * B
+                    acc_sq + sq_sum,
+                    acc_n + jnp.float32(batch_size),
+                ), None
+
+            init = (
+                wb0, m0, v0,
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+            )
+            (wb_f, m_f, v_f, acc_loss, acc_sq, acc_n), _ = lax.scan(
+                kernel_adam_step, init, jnp.arange(num_batches)
+            )
+            params = unpad_flax_params(spec, grads_to_padded(spec, wb_f))
+            mu = unpad_flax_params(spec, grads_to_padded(spec, m_f))
+            nu = unpad_flax_params(spec, grads_to_padded(spec, v_f))
+            new_adam = adam_state._replace(
+                count=adam_state.count + jnp.int32(num_batches), mu=mu, nu=nu
+            )
+            opt_state = state.opt_state._replace(
+                inner_state=(new_adam,) + tuple(adam_inner[1:])
+            )
+            metrics = {
+                "loss": acc_loss / acc_n,
+                "sq_err_per_sample": acc_sq / acc_n,
+            }
+            return (
+                TrainState(params, state.buffers, opt_state, state.batch_stats),
+                metrics,
             )
 
         # The fused epoch's scan carry holds params and Adam state in PADDED

@@ -41,7 +41,10 @@ class Trainer:
         self.fused_mlp = config["training"].get("fused_mlp", False)
         self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(
             model, optimizer, loss_type, shuffle=self.shuffle,
-            fused=self.fused_mlp
+            fused=self.fused_mlp,
+            # in-kernel Adam rides the fused streaming path by default;
+            # training.fused_adam: false is the escape hatch
+            fused_adam=config["training"].get("fused_adam", True),
         )
 
         self.use_lr_scheduler = config["training"].get("use_lr_scheduler", False)

@@ -256,3 +256,7 @@ def test_fused_tile_budget_choices():
     assert _pick_fused_tile(spec_for(512), 4096, stream=False, x_bytes=4) == 1024
     # k=1023 f32: the double-buffered x tiles alone are 8.4MB at tile 1024
     assert _pick_fused_tile(spec_for(1023), 4096, stream=False, x_bytes=4) == 512
+    # in-kernel Adam adds the two m/v staging buffers but keeps tile 1024 at
+    # the canonical bf16-stream cat scale (verified compiling on the chip)
+    assert _pick_fused_tile(spec_for(1023), 4096, stream=True, x_bytes=2,
+                            adam=True) == 1024

@@ -79,9 +79,15 @@ def main():
     )
     key = jax.random.PRNGKey(0)
 
-    for name, fused in (("xla", False), ("fused", True)):
+    variants = (
+        ("xla", False, False),
+        ("fused", True, False),
+        ("fused_adam", True, True),   # in-kernel Adam (round 3)
+    )
+    for name, fused, fused_adam in variants:
         train_epoch, _ = make_epoch_fns(
-            model, optimizer, "L1", shuffle="blocks", fused=fused
+            model, optimizer, "L1", shuffle="blocks", fused=fused,
+            fused_adam=fused_adam,
         )
         state = create_train_state(
             jax.tree_util.tree_map(jnp.array, variables), optimizer
