@@ -78,6 +78,57 @@ def test_vertex_permutation_transfer():
     np.testing.assert_allclose(mapped, expected, atol=5e-3)
 
 
+def test_spliced_constant_matches_solver():
+    """tools/make_transfer_targets splices the ANALYTIC constant eigenfunction
+    in front of a skip-first solve instead of re-solving with keep_first; the
+    analytic phi0 must equal the solver's first column up to sign, and the
+    spliced basis must drive an identity transfer to the same result."""
+    from tools.make_transfer_targets import constant_eigenfunction, spliced_full_basis
+
+    mesh = icosphere(2)
+    k = 6
+    basis, M = spliced_full_basis(mesh, k + 2, "cotan")
+    solver_full = _full_basis(mesh, k + 2)  # keep_first solve
+    phi0 = constant_eigenfunction(M)
+    sign = np.sign(np.dot(phi0, solver_full[:, 0]))
+    np.testing.assert_allclose(phi0, sign * solver_full[:, 0], atol=1e-8)
+    # M-orthonormality of the spliced basis (constant against the rest)
+    G = basis.T @ (M @ basis)
+    np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-6)
+
+    corr = np.arange(mesh.num_vertices)
+    mapped = map_eigenfunctions_p2p(basis, basis, M, corr, k)
+    expected = postprocess_eigenfunctions(basis[:, 1 : k + 1])
+    np.testing.assert_allclose(mapped, expected, atol=5e-4)
+
+
+def test_transfer_target_correspondences():
+    """Icosphere subdivision keeps parent vertices as an exact prefix, and the
+    blob bump is per-vertex — the experiment's coarse/dense correspondences
+    rely on both."""
+    from tools.make_synthetic_dataset import blob_mesh
+    from tools.make_transfer_targets import (
+        nearest_vertex_correspondence,
+        twist_deform,
+    )
+
+    src = blob_mesh(subdivisions=3)
+    coarse = blob_mesh(subdivisions=2)
+    dense = blob_mesh(subdivisions=4)
+    np.testing.assert_allclose(coarse.vertices,
+                               src.vertices[: coarse.num_vertices])
+    np.testing.assert_allclose(dense.vertices[: src.num_vertices], src.vertices)
+    corr = nearest_vertex_correspondence(dense.vertices, src.vertices)
+    np.testing.assert_array_equal(corr[: src.num_vertices],
+                                  np.arange(src.num_vertices))
+    # twist is a bijective per-vertex map that preserves z and radius in xy
+    tv = twist_deform(src.vertices, rate=0.6)
+    np.testing.assert_allclose(tv[:, 2], src.vertices[:, 2])
+    np.testing.assert_allclose(
+        np.linalg.norm(tv[:, :2], axis=1),
+        np.linalg.norm(src.vertices[:, :2], axis=1), atol=1e-12)
+
+
 @pytest.fixture(scope="module")
 def bake_setup(tmp_path_factory):
     """A trained-model out_dir + matching UV mesh over a flat grid."""

@@ -17,6 +17,13 @@ Example:
 The correspondence file may be a .npy int array (target->source vertex ids) or
 a .mat in the reference's format (key "P", 1-based, cell [0,0][1]).
 
+Quantitative mode (beyond the reference notebooks, which only render):
+  --eval_dataset DIR --eval_split test   evaluate the transferred field
+against a MeshViewsDataset of ground-truth views of the TARGET shape with the
+full eval.py protocol (masked PSNR / DSSIM / LPIPS, images + metrics pickle)
+instead of rendering bare cameras. Used by scripts/run_transfer.sh for the
+HQ transfer experiment.
+
 IMPORTANT: --source_efuncs_full must contain the EXACT basis the model was
 trained on, extended with the constant eigenfunction in front (and optionally
 more columns behind) — splice it like the reference notebooks do
@@ -24,14 +31,15 @@ more columns behind) — splice it like the reference notebooks do
 independent eigensolve returns different signs/rotations in degenerate
 subspaces and the functional map would align to the wrong basis. With the
 spliced basis and an identity correspondence, transfer reproduces the source
-render pixel-exactly (verified).
+render pixel-exactly (verified). tools/make_transfer_targets.py writes both
+sides' bases in this format.
 """
 import argparse
 import os
 
 import numpy as np
 
-from intrinsic_neural_fields_tpu.geometry.laplacian import voronoi_mass_matrix
+from intrinsic_neural_fields_tpu.geometry.laplacian import build_laplacian
 from intrinsic_neural_fields_tpu.geometry.mesh import load_mesh
 from intrinsic_neural_fields_tpu.render.renderer import make_renderer_with_trained_model
 from intrinsic_neural_fields_tpu.train.config import load_config
@@ -59,40 +67,77 @@ def parse_args():
                    help=".npy UNRESCALED basis incl. constant (keep_first_efunc)")
     p.add_argument("--target_efuncs_full", required=True)
     p.add_argument("--correspondence", required=True, help=".npy or .mat (target->source)")
-    p.add_argument("--cameras_path", required=True,
-                   help="npz with world_mat_i / camera_mat_i entries")
+    p.add_argument("--cameras_path",
+                   help="npz with world_mat_i / camera_mat_i entries (render mode)")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--render_source_too", action="store_true")
+    p.add_argument("--laplacian_type", default="cotan",
+                   choices=("cotan", "robust", "pc_vert_robust"),
+                   help="target mass matrix for the functional map — must "
+                        "match the Laplacian the target basis was solved with "
+                        "(pc_vert_robust for point-cloud targets)")
+    p.add_argument("--eval_dataset",
+                   help="MeshViewsDataset dir of GT views of the TARGET shape "
+                        "-> quantitative eval instead of bare renders")
+    p.add_argument("--eval_split", default="test")
+    p.add_argument("--background", default="white")
     return p.parse_args()
+
+
+def build_transferred_renderer(config, target_mesh_path, source_efuncs_full,
+                               target_efuncs_full, correspondence,
+                               laplacian_type="cotan"):
+    """Renderer for the trained field of `config` evaluated ON the target
+    shape: same weights, target geometry, P2P-functional-map-aligned basis."""
+    k = config["model"]["k"]
+    target_mesh = load_mesh(target_mesh_path)
+    E_src_full = np.load(source_efuncs_full)
+    E_tgt_full = np.load(target_efuncs_full)
+    _, M_tgt = build_laplacian(target_mesh, laplacian_type)
+    corr = load_correspondence(correspondence) if isinstance(
+        correspondence, str) else np.asarray(correspondence)
+
+    mapped = map_eigenfunctions_p2p(E_src_full, E_tgt_full, M_tgt, corr, k)
+
+    renderer = make_renderer_with_trained_model(config)
+    # Swap geometry + basis: same trained weights, new shape.
+    renderer.mesh = target_mesh
+    renderer.set_eigenfunctions(mapped)
+    renderer._refresh_geometry()
+    return renderer
 
 
 def main():
     args = parse_args()
     config = load_config(args.config_path)
-    k = config["model"]["k"]
-
-    target_mesh = load_mesh(args.target_mesh)
-    E_src_full = np.load(args.source_efuncs_full)
-    E_tgt_full = np.load(args.target_efuncs_full)
-    M_tgt = voronoi_mass_matrix(target_mesh.vertices, target_mesh.faces)
-    corr = load_correspondence(args.correspondence)
-
-    mapped = map_eigenfunctions_p2p(E_src_full, E_tgt_full, M_tgt, corr, k)
-
-    renderer = make_renderer_with_trained_model(config)
-    cameras = np.load(args.cameras_path)
-    n_cams = len([key for key in cameras.keys() if key.startswith("world_mat_")])
 
     os.makedirs(args.out_dir, exist_ok=True)
-    if args.render_source_too:
+    if args.render_source_too and args.cameras_path:
+        src_renderer = make_renderer_with_trained_model(config)
+        cameras = np.load(args.cameras_path)
+        n_cams = len([k for k in cameras.keys() if k.startswith("world_mat_")])
         for i in range(n_cams):
-            view = renderer.render(cameras[f"world_mat_{i}"], cameras[f"camera_mat_{i}"])
+            view = src_renderer.render(
+                cameras[f"world_mat_{i}"], cameras[f"camera_mat_{i}"])
             imwrite(os.path.join(args.out_dir, f"source_{i:03d}.png"), view)
 
-    # Swap geometry + basis: same trained weights, new shape.
-    renderer.mesh = target_mesh
-    renderer.set_eigenfunctions(mapped)
-    renderer._refresh_geometry()
+    renderer = build_transferred_renderer(
+        config, args.target_mesh, args.source_efuncs_full,
+        args.target_efuncs_full, args.correspondence, args.laplacian_type,
+    )
+
+    if args.eval_dataset:
+        from intrinsic_neural_fields_tpu.evaluation.eval_cli import evaluate_views
+
+        means, _ = evaluate_views(
+            args.out_dir, config, args.eval_dataset, args.eval_split,
+            background=args.background, renderer=renderer,
+        )
+        return
+
+    assert args.cameras_path, "--cameras_path required without --eval_dataset"
+    cameras = np.load(args.cameras_path)
+    n_cams = len([key for key in cameras.keys() if key.startswith("world_mat_")])
     for i in range(n_cams):
         view = renderer.render(cameras[f"world_mat_{i}"], cameras[f"camera_mat_{i}"])
         imwrite(os.path.join(args.out_dir, f"transfer_{i:03d}.png"), view)

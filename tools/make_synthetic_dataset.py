@@ -59,12 +59,20 @@ def look_at_cam(eye, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
     ).astype(np.float32)
 
 
-def render_gt_view(mesh, cam, K, H, W, tracer="host"):
+def render_gt_view(mesh, cam, K, H, W, tracer="host", texture_positions=None):
     """GT render: (img [H,W,3] f32, mask [H,W] bool).
 
     tracer="host" uses the float64 oracle (independent of the device path
     under test); "device" uses the XLA tracer (bit-exactness vs the oracle is
     covered by tests) — orders of magnitude faster for large meshes/images.
+
+    texture_positions: optional [V,3] per-vertex positions at which the
+    procedural texture is evaluated (default: mesh.vertices). Used by the
+    texture-transfer experiment to CARRY the texture along a deformation:
+    rays hit the deformed geometry, but the color of a surface point is the
+    texture of its corresponding point on the source shape (the analog of the
+    reference's deformed-shape transfer targets,
+    texture_transfer_cat_arap.ipynb).
     """
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     coords = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.float64)
@@ -102,7 +110,8 @@ def render_gt_view(mesh, cam, K, H, W, tracer="host"):
             mesh.vertices, mesh.faces, origins, dirs
         )
     img = np.ones((H * W, 3), dtype=np.float32)
-    pts = np.einsum("bj,bjk->bk", bary[valid], mesh.vertices[mesh.faces[face_idx[valid]]])
+    tex_v = mesh.vertices if texture_positions is None else np.asarray(texture_positions)
+    pts = np.einsum("bj,bjk->bk", bary[valid], tex_v[mesh.faces[face_idx[valid]]])
     img[valid] = procedural_texture(pts).astype(np.float32)
     return img.reshape(H, W, 3), valid.reshape(H, W)
 
