@@ -204,3 +204,27 @@ def test_wire_u8_matches_8bit_quantized_f16():
     a = np.round(np.clip(r.render(cam, K), 0, 1) * 255).astype(np.uint8)
     b = np.round(np.clip(r8.render(cam, K), 0, 1) * 255).astype(np.uint8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_async_render_identical_to_serial():
+    """render_async/render_fetch with overlapping dispatches (the
+    render_video/eval loop pattern) must be a pure reordering: frames are
+    bit-identical to serial render() calls, in eval_render mode too."""
+    r, _, _ = _renderer()
+    K = _simple_K(r.H, r.W)
+    cams = [
+        _look_at_cam(np.array([0.4, -2.8, 0.7])),
+        _look_at_cam(np.array([2.5, 0.5, -0.4])),
+        _look_at_cam(np.array([-1.8, 1.8, 1.0])),
+    ]
+    serial = [r.render(c, K) for c in cams]
+    handles = [r.render_async(c, K) for c in cams]  # all in flight at once
+    for img, h in zip(serial, handles):
+        np.testing.assert_array_equal(img, r.render_fetch(h))
+
+    se = [r.render(c, K, eval_render=True) for c in cams]
+    hs = [r.render_async(c, K, eval_render=True) for c in cams]
+    for (img, idxs), h in zip(se, hs):
+        img2, idxs2 = r.render_fetch(h)
+        np.testing.assert_array_equal(img, img2)
+        np.testing.assert_array_equal(idxs, idxs2)
