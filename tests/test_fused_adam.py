@@ -232,3 +232,63 @@ def test_epoch_single_step_near_exact(setup, rng):
                     jax.tree_util.tree_leaves(states[False][0].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     assert int(states[True][0].opt_state.inner_state[0].count) == 1
+
+
+def test_lr_flows_from_opt_state(setup, rng):
+    """The in-kernel path reads the learning rate from
+    opt_state.hyperparams each epoch (how ReduceLROnPlateau communicates):
+    setting lr=0 between epochs must freeze the params exactly (while m/v
+    keep updating)."""
+    from intrinsic_neural_fields_tpu.data.sampler import (
+        RayData,
+        precompute_hit_features,
+    )
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        make_epoch_fns,
+    )
+
+    model, variables = setup["model"], setup["variables"]
+    k = setup["spec"].k_in
+    N = V = batch = 256
+    data = precompute_hit_features(
+        RayData(
+            features=jnp.asarray(rng.normal(size=(V, k)).astype(np.float32)),
+            feature_strategy="efuncs",
+            vertex_idxs_of_hit_faces=jnp.asarray(
+                rng.integers(0, V, size=(N, 3)).astype(np.int32)
+            ),
+            barycentric_coords=jnp.asarray(
+                rng.dirichlet(np.ones(3), size=N).astype(np.float32)
+            ),
+            expected_rgbs=jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32)),
+            unit_ray_dirs=None,
+            face_idxs=None,
+        )
+    )
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    train_epoch, _ = make_epoch_fns(
+        model, optimizer, "L1", shuffle="blocks", fused=True, fused_adam=True
+    )
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.array, variables), optimizer
+    )
+    state, _ = train_epoch(state, jax.random.PRNGKey(0), data, 1, batch)
+    params_before = jax.device_get(state.params)
+    nu_before = jax.device_get(state.opt_state.inner_state[0].nu)
+
+    state.opt_state.hyperparams["learning_rate"] = jnp.asarray(0.0, jnp.float32)
+    state, _ = train_epoch(state, jax.random.PRNGKey(1), data, 1, batch)
+
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(a, b)
+    # the moments still moved (the update was scaled to zero, not skipped)
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(nu_before),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(state.opt_state.inner_state[0].nu)))
+    )
+    assert moved
+    assert int(state.opt_state.inner_state[0].count) == 2
