@@ -75,8 +75,14 @@ def main():
 
     @jax.jit
     def loop_fwd(wb, x):
+        # The kernel's operands are loop-invariant, so without a barrier XLA
+        # hoists the whole call out of the scan (one kernel for all iters —
+        # measured 0.5 us/step, an artifact). optimization_barrier ties the
+        # operands to the carry, forcing one kernel per iteration at zero
+        # data-movement cost.
         def step(acc, _):
-            return acc + fwd(wb, x).sum(), None
+            wb_i, x_i, acc = lax.optimization_barrier((tuple(wb), x, acc))
+            return acc + fwd(list(wb_i), x_i).sum(), None
         return lax.scan(step, jnp.float32(0.0), None, length=iters)[0]
 
     @jax.jit
