@@ -162,7 +162,7 @@ def _ell_arrays(L, inv_sqrt):
 def _chefsi_device(
     L, M, k,
     tol=1e-3, degree=40, buffer_frac=0.2, max_iter=30, seed=0,
-    refine=True, refine_degree=60,
+    refine=True, refine_degree=60, spmv_bytes_budget=2 << 30,
 ):
     """Chebyshev-filtered subspace iteration (CheFSI) on the device, f32,
     with one float64 filter + Rayleigh-Ritz polish on the host.
@@ -195,11 +195,36 @@ def _chefsi_device(
     m = k + max(int(k * buffer_frac), 16)
     assert m <= n, (k, m, n)
     idx_np, w_np = _ell_arrays(L, inv_sqrt)
-    idx, w = jnp.asarray(idx_np), jnp.asarray(w_np)
+    dmax = idx_np.shape[1]
 
-    def spmv(X):
-        # [n, dmax] gather of X rows + weighted reduction over neighbors
-        return jnp.einsum("nd,ndm->nm", w, X[idx])
+    # The one-shot spmv materializes an [n, dmax, m] gather intermediate
+    # (n=400k, dmax~30, m~614 would be ~29GB). Above the HBM budget, chunk
+    # the OUTPUT rows with lax.map: each block gathers from the full X but
+    # only materializes [chunk, dmax, m]. Row padding uses index 0 with
+    # weight 0, and the pad rows are sliced off after.
+    one_shot = n * dmax * (k + max(int(k * buffer_frac), 16)) * 4
+    if one_shot <= spmv_bytes_budget:
+        idx, w = jnp.asarray(idx_np), jnp.asarray(w_np)
+
+        def spmv(X):
+            # [n, dmax] gather of X rows + weighted reduction over neighbors
+            return jnp.einsum("nd,ndm->nm", w, X[idx])
+    else:
+        chunk = max(1024, int(spmv_bytes_budget // (dmax * (k + max(int(k * buffer_frac), 16)) * 4) // 1024 * 1024))
+        n_pad = -(-n // chunk) * chunk
+        idx_p = np.zeros((n_pad, dmax), np.int32)
+        w_p = np.zeros((n_pad, dmax), np.float32)
+        idx_p[:n], w_p[:n] = idx_np, w_np
+        idx_b = jnp.asarray(idx_p.reshape(-1, chunk, dmax))
+        w_b = jnp.asarray(w_p.reshape(-1, chunk, dmax))
+
+        def spmv(X):
+            def blk(args):
+                ib, wb = args
+                return jnp.einsum("nd,ndm->nm", wb, X[ib])
+
+            out = jax.lax.map(blk, (idx_b, w_b))
+            return out.reshape(n_pad, -1)[:n]
 
     key = jax.random.PRNGKey(seed)
 

@@ -171,3 +171,21 @@ def test_chefsi_at_preprocessing_scale():
     # M-orthonormal output, like every other solver path
     orth = np.abs((phi_d * Md[:, None]).T @ phi_d - np.eye(k)).max()
     assert orth < 1e-10, orth
+
+
+def test_chefsi_chunked_spmv_matches():
+    """Above the spmv HBM budget CheFSI blocks the [n, dmax, m] gather over
+    output-row chunks (lax.map) — the 400k-point regime where the one-shot
+    intermediate would be ~29GB. A budget small enough to force 3 chunks
+    (incl. a padded ragged tail) must reproduce the unchunked spectrum."""
+    m = icosphere(4)  # n=2562 -> chunks of 1024 + padded tail
+    L, M = build_laplacian(m, "cotan")
+    k = 16
+    ev_h, _ = solve_generalized_eigenproblem(L, M, k, method="shift_invert")
+    ev_c, phi_c = solve_generalized_eigenproblem(
+        L, M, k, method="chefsi", spmv_bytes_budget=1 << 12
+    )
+    np.testing.assert_allclose(ev_c, ev_h, rtol=1e-8, atol=1e-8)
+    Md = M.diagonal()
+    orth = np.abs((phi_c * Md[:, None]).T @ phi_c - np.eye(k)).max()
+    assert orth < 1e-10, orth
