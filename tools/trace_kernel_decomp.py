@@ -122,7 +122,9 @@ def main():
         for _, r in spec.weight_names()
     )
     batch_bytes = B * Kp * 2
-    bound_fwd = max(fwd_flops / MXU_TFLOPS, (batch_bytes + w_bytes) / HBM_BPS)
+    # the standalone fwd kernel takes an explicit f32 x (the streamed train
+    # kernels read the bf16 feature table instead) — charge its real bytes
+    bound_fwd = max(fwd_flops / MXU_TFLOPS, (B * Kp * 4 + w_bytes) / HBM_BPS)
     bound_grads = max(3 * fwd_flops / MXU_TFLOPS,
                       (batch_bytes + 2 * w_bytes) / HBM_BPS)
     # Adam tail runs once per kernel call (last grid program): 2 reads +
