@@ -267,16 +267,49 @@ def _chefsi_device(
             return (Yc, Yn, sig_new), None
 
         (_, Y, _), _ = jax.lax.scan(body, (X, Y, sigma1), None, length=deg - 1)
-        return Y
+        # scale-normalize: wanted components grow exp(deg*2*sqrt(cut/max))
+        # per application, and badly-conditioned operators need MANY chained
+        # applications (see _filter_applications) — keep f32 finite. The
+        # subspace is scale-invariant, so this is free.
+        return Y / jnp.max(jnp.abs(Y))
+
+    def _filter_applications(lam_cut):
+        # A degree-p Chebyshev pass amplifies the wanted end by roughly
+        # exp(p * 2 * sqrt(lam_cut / lam_max)) relative to the damped band.
+        # Point-cloud Laplacians (tiny Voronoi masses from sampling
+        # clusters) reach lam_max/lam_cut ~ 1e4-1e5, where one degree-40
+        # pass amplifies by only ~2x — useless. Chain enough applications
+        # of the SAME compiled kernel (equivalent to one degree 40*T
+        # filter; no recompilation) to reach a fixed per-iteration
+        # amplification target of ~e^4.
+        per_pass = degree * 2.0 * np.sqrt(max(lam_cut / lam_max, 1e-12))
+        return int(np.clip(np.ceil(4.0 / per_pass), 1, 12))
 
     X = jax.random.normal(jax.random.fold_in(key, 1), (n, m), jnp.float32)
     X, theta, res = rayleigh_ritz(X)
+    # Exit when the wanted residuals are small RELATIVE TO THE WANTED
+    # EIGENVALUES (res/lam_cut): normalizing by lam_max instead would let a
+    # badly-conditioned operator (point-cloud Laplacians reach
+    # lam_max/lam_cut ~ 1e4) "converge" while the low pairs are still
+    # noise. The f32 iteration can also stall above that target (filter
+    # dynamic range beyond f32) — two non-improving rounds hand off to the
+    # f64 host polish rather than burning max_iter.
+    prev = np.inf
+    stalled = 0
     for _ in range(max_iter):
         lam_cut = float(theta[k])
         lam_cut = min(max(lam_cut, 1e-6 * lam_max), 0.9 * lam_max)
-        X, theta, res = rayleigh_ritz(cheb_filter(X, lam_cut, degree))
-        if float(jnp.max(res[:k])) / lam_max < tol:
+        Y = X
+        for _ in range(_filter_applications(lam_cut)):
+            Y = cheb_filter(Y, lam_cut, degree)
+        X, theta, res = rayleigh_ritz(Y)
+        r = float(jnp.max(res[:k]))
+        if r < tol * lam_cut:
             break
+        stalled = stalled + 1 if r > 0.9 * prev else 0
+        if stalled >= 2:
+            break
+        prev = min(prev, r)
 
     X_host = np.asarray(X, dtype=np.float64)
     if refine:
@@ -305,15 +338,31 @@ def _chefsi_device(
             return Y
 
         evals = None
-        for _ in range(4):
-            Q, _ = np.linalg.qr(cheb_f64(X_host, lam_cut, refine_degree))
+        prev_r = np.inf
+        for _ in range(12):
+            Xf = X_host
+            # same conditioning-adaptive chaining as the device loop (the
+            # f64 recurrence is stable; no normalization needed per pass)
+            per_pass = refine_degree * 2.0 * np.sqrt(max(lam_cut / lam_max, 1e-12))
+            for _ in range(int(np.clip(np.ceil(4.0 / per_pass), 1, 12))):
+                Xf = cheb_f64(Xf, lam_cut, refine_degree)
+                Xf = Xf / np.abs(Xf).max()
+            Q, _ = np.linalg.qr(Xf)
             H = Q.T @ (C @ Q)
             theta_h, U = np.linalg.eigh(0.5 * (H + H.T))
             X_host = Q @ U
             evals = theta_h[:k]
             R = C @ X_host[:, :k] - X_host[:, :k] * evals[None, :]
-            if np.linalg.norm(R, axis=0).max() < 1e-9 * lam_max:
+            # wanted-scale relative target (lam_max-relative would declare
+            # victory on badly-conditioned operators while the low pairs
+            # are still wrong — same reasoning as the device loop); stop
+            # early once rounds stop buying anything
+            r = np.linalg.norm(R, axis=0).max()
+            if r < 1e-8 * max(np.abs(evals).max(), 1e-12 * lam_max):
                 break
+            if r > 0.9 * prev_r:
+                break
+            prev_r = r
             lam_cut = min(max(float(theta_h[k]), 1e-6 * lam_max), 0.9 * lam_max)
     else:
         evals = np.asarray(theta, dtype=np.float64)[:k]
