@@ -27,6 +27,8 @@ reference uses, reference mesh.py:140):
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import scipy.sparse as sparse
 import scipy.sparse.linalg as sla
@@ -304,6 +306,13 @@ def _chefsi_device(
             Y = cheb_filter(Y, lam_cut, degree)
         X, theta, res = rayleigh_ritz(Y)
         r = float(jnp.max(res[:k]))
+        if os.environ.get("INF_TPU_EIG_VERBOSE"):
+            import sys
+            import time as _time
+
+            print(f"[chefsi device] t={_time.time():.0f} res={r:.3e} "
+                  f"cut={lam_cut:.3e} target={tol * lam_cut:.3e}",
+                  file=sys.stderr, flush=True)
         if r < tol * lam_cut:
             break
         stalled = stalled + 1 if r > 0.9 * prev else 0
@@ -358,6 +367,13 @@ def _chefsi_device(
             # are still wrong — same reasoning as the device loop); stop
             # early once rounds stop buying anything
             r = np.linalg.norm(R, axis=0).max()
+            if os.environ.get("INF_TPU_EIG_VERBOSE"):
+                import sys
+                import time as _time
+
+                print(f"[chefsi refine] t={_time.time():.0f} res={r:.3e} "
+                      f"target={1e-8 * max(np.abs(evals).max(), 1e-12 * lam_max):.3e}",
+                      file=sys.stderr, flush=True)
             if r < 1e-8 * max(np.abs(evals).max(), 1e-12 * lam_max):
                 break
             if r > 0.9 * prev_r:
