@@ -164,7 +164,7 @@ def _ell_arrays(L, inv_sqrt):
 def _chefsi_device(
     L, M, k,
     tol=1e-3, degree=40, buffer_frac=0.2, max_iter=30, seed=0,
-    refine=True, refine_degree=60, spmv_bytes_budget=2 << 30,
+    refine=True, refine_degree=60, refine_rounds=12, spmv_bytes_budget=2 << 30,
 ):
     """Chebyshev-filtered subspace iteration (CheFSI) on the device, f32,
     with one float64 filter + Rayleigh-Ritz polish on the host.
@@ -366,9 +366,14 @@ def _chefsi_device(
                 )
             return X
 
+        # refine_rounds bounds the f64 polish: each round at n~1e5 costs
+        # ~600 GFLOP of single-core host BLAS (~15 min) and contracts the
+        # worst wanted residual by ~5-20x — at large n, budget rounds
+        # explicitly instead of chasing 1e-8 parity (see RESULTS.md's
+        # at-scale table; ARPACK is the right tool when a host LU fits).
         evals = None
         prev_r = np.inf
-        for _ in range(12):
+        for _ in range(refine_rounds):
             Xf = X_host
             # same conditioning-adaptive chaining as the device loop, but
             # with a HIGHER amplification target (e^8/round): host rounds

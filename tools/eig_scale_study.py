@@ -42,6 +42,7 @@ def main():
     p.add_argument("--no_refine", action="store_true")
     p.add_argument("--max_iter", type=int, default=30)
     p.add_argument("--degree", type=int, default=40)
+    p.add_argument("--refine_rounds", type=int, default=12)
     args = p.parse_args()
 
     from intrinsic_neural_fields_tpu.geometry.laplacian import (
@@ -79,6 +80,7 @@ def main():
         refine=not args.no_refine,
         max_iter=args.max_iter,
         degree=args.degree,
+        refine_rounds=args.refine_rounds,
     )
     out["chefsi_wall_s"] = round(time.time() - t0, 1)
     out["refine"] = not args.no_refine
