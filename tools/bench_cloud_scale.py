@@ -57,6 +57,9 @@ def main():
     p.add_argument("--k", type=int, default=512)
     p.add_argument("--mesh", default="data/synthetic_hq/blob.obj")
     p.add_argument("--skip_arpack", action="store_true")
+    p.add_argument("--skip_warm", action="store_true",
+                   help="skip the warm re-solve (the host f64 polish "
+                        "dominates CheFSI wall at scale, so warm ~= cold)")
     p.add_argument("--n_neighbors", type=int, default=16)
     args = p.parse_args()
 
@@ -102,9 +105,10 @@ def main():
     lam, phi = solve_generalized_eigenproblem(L, M, args.k, method="chefsi")
     out["chefsi_wall_s"] = round(time.time() - t0, 1)
     results["chefsi"] = (np.asarray(lam), np.asarray(phi))
-    t0 = time.time()
-    solve_generalized_eigenproblem(L, M, args.k, method="chefsi")
-    out["chefsi_warm_wall_s"] = round(time.time() - t0, 1)
+    if not args.skip_warm:
+        t0 = time.time()
+        solve_generalized_eigenproblem(L, M, args.k, method="chefsi")
+        out["chefsi_warm_wall_s"] = round(time.time() - t0, 1)
 
     if len(results) == 2:
         (lc, pc), (ls, ps) = results["chefsi"], results["shift_invert"]

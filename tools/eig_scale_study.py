@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Where does CheFSI's at-scale wall time go? (VERDICT r2 #4 follow-up.)
 
-The 163k/k=512 bench measured ARPACK 908s vs CheFSI 5167s with parity
-degraded to 4.8e-4 — and warm == cold, so the cost is iteration, not
-compile. This study decomposes one solve: the f32 DEVICE loop (filter + QR
-+ Rayleigh-Ritz) is timed separately from the f64 HOST polish, each with
-per-round residuals on stderr (INF_TPU_EIG_VERBOSE), against a cached
+The initial 163k/k=529 bench measured ARPACK 908s vs CheFSI 5167s with
+parity degraded to 4.8e-4 — and warm == cold, so the cost is iteration,
+not compile. This study decomposes one solve: the f32 DEVICE loop (filter
++ QR + Rayleigh-Ritz) is timed separately from the f64 HOST polish, each
+with per-round residuals on stderr (INF_TPU_EIG_VERBOSE), against a cached
 ARPACK reference basis so variants can be compared without re-paying the
-15-minute shift-invert solve.
+15-minute shift-invert solve. Final round-3 numbers (adaptive chaining +
+CholeskyQR2 + refine budget): CheFSI 4010s, parity 1.6e-9 / 0.0004 deg —
+recorded in RESULTS.md "163k vertices".
 
 `python tools/eig_scale_study.py [--subdiv 7] [--k 512] [--ref /tmp/ref.npz]
     [--refine/--no_refine] [--max_iter N] [--degree D]`
