@@ -178,3 +178,27 @@ def test_loss_types_run(synthetic_setup):
         cfg["training"]["loss_type"] = loss_type
         trainer, _ = _build_trainer(cfg)
         trainer.train()
+
+
+def test_k_ranges_config_expansion(tmp_path):
+    """`model.k: {ranges: [[a,b], ...]}` expands to the reference's explicit
+    index-list form (reference intrinsic_cat.yaml spells out 1023 literals;
+    configs here use the compact half-open-range spec — train/config.py
+    _normalize_k). Pins the canonical {0-256, 1793-2304, 3840-4096} list."""
+    import yaml
+
+    from intrinsic_neural_fields_tpu.train.config import load_config
+
+    cfg = {
+        "seed": 0,
+        "data": {},
+        "model": {"k": {"ranges": [[0, 256], [1793, 2304], [3840, 4096]]}},
+        "training": {"out_dir": str(tmp_path / "out")},
+    }
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    loaded = load_config(str(path))
+    k = loaded["model"]["k"]
+    assert isinstance(k, list) and len(k) == 1023
+    assert k[:3] == [0, 1, 2] and k[256] == 1793 and k[-1] == 4095
+    assert k == sorted(set(k))

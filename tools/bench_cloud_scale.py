@@ -61,6 +61,10 @@ def main():
                    help="skip the warm re-solve (the host f64 polish "
                         "dominates CheFSI wall at scale, so warm ~= cold)")
     p.add_argument("--n_neighbors", type=int, default=16)
+    p.add_argument("--cache", default="/tmp/cloud_scale_cache",
+                   help="directory for stage caches (triangulation, "
+                        "Laplacian, ARPACK pairs) so a retry after a "
+                        "tunnel outage skips the ~35min of host stages")
     args = p.parse_args()
 
     from intrinsic_neural_fields_tpu.geometry.laplacian import robust_laplacian
@@ -70,36 +74,70 @@ def main():
         solve_generalized_eigenproblem,
     )
 
+    import scipy.sparse as sp
+
     out = {"n_points": args.n, "k": args.k}
-    src = load_mesh(args.mesh)
+    os.makedirs(args.cache, exist_ok=True)
+    tag = f"n{args.n}_nn{args.n_neighbors}"
+    geo_path = os.path.join(args.cache, f"geo_{tag}.npz")
+    eig_path = os.path.join(args.cache, f"arpack_{tag}_k{args.k}.npz")
 
-    t0 = time.time()
-    pts = sample_surface(src.vertices, src.faces, args.n)
-    out["sample_s"] = round(time.time() - t0, 1)
+    if os.path.exists(geo_path):
+        z = np.load(geo_path)
+        pts, faces = z["pts"], z["faces"]
+        L = sp.csr_matrix((z["L_data"], z["L_indices"], z["L_indptr"]))
+        M = sp.diags(z["M_diag"]).tocsr()
+        out.update(sample_s=float(z["sample_s"]), triangulate_s=float(z["triangulate_s"]),
+                   laplacian_s=float(z["laplacian_s"]), n_faces=int(faces.shape[0]),
+                   dmax=int(z["dmax"]), geo_cached=True)
+        print(f"[cloud{args.n}] geometry stages from cache {geo_path}",
+              file=sys.stderr, flush=True)
+    else:
+        src = load_mesh(args.mesh)
 
-    t0 = time.time()
-    faces = local_triangulation(pts, n_neighbors=args.n_neighbors)
-    out["triangulate_s"] = round(time.time() - t0, 1)
-    out["n_faces"] = int(faces.shape[0])
-    print(f"[cloud{args.n}] triangulated: {faces.shape[0]} faces "
-          f"in {out['triangulate_s']}s", file=sys.stderr, flush=True)
+        t0 = time.time()
+        pts = sample_surface(src.vertices, src.faces, args.n)
+        out["sample_s"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    L, M = robust_laplacian(pts, faces)
-    out["laplacian_s"] = round(time.time() - t0, 1)
-    deg = np.diff(L.tocsr().indptr)
-    out["dmax"] = int(deg.max())
-    print(f"[cloud{args.n}] laplacian in {out['laplacian_s']}s "
-          f"(dmax {out['dmax']})", file=sys.stderr, flush=True)
+        t0 = time.time()
+        faces = local_triangulation(pts, n_neighbors=args.n_neighbors)
+        out["triangulate_s"] = round(time.time() - t0, 1)
+        out["n_faces"] = int(faces.shape[0])
+        print(f"[cloud{args.n}] triangulated: {faces.shape[0]} faces "
+              f"in {out['triangulate_s']}s", file=sys.stderr, flush=True)
+
+        t0 = time.time()
+        L, M = robust_laplacian(pts, faces)
+        out["laplacian_s"] = round(time.time() - t0, 1)
+        L = L.tocsr()
+        deg = np.diff(L.indptr)
+        out["dmax"] = int(deg.max())
+        print(f"[cloud{args.n}] laplacian in {out['laplacian_s']}s "
+              f"(dmax {out['dmax']})", file=sys.stderr, flush=True)
+        np.savez(geo_path, pts=pts, faces=faces, L_data=L.data,
+                 L_indices=L.indices, L_indptr=L.indptr,
+                 M_diag=np.asarray(M.diagonal()), dmax=out["dmax"],
+                 sample_s=out["sample_s"], triangulate_s=out["triangulate_s"],
+                 laplacian_s=out["laplacian_s"])
 
     results = {}
     if not args.skip_arpack:
-        t0 = time.time()
-        lam, phi = solve_generalized_eigenproblem(L, M, args.k, method="shift_invert")
-        out["arpack_wall_s"] = round(time.time() - t0, 1)
-        results["shift_invert"] = (np.asarray(lam), np.asarray(phi))
-        print(f"[cloud{args.n}] arpack in {out['arpack_wall_s']}s",
-              file=sys.stderr, flush=True)
+        if os.path.exists(eig_path):
+            z = np.load(eig_path)
+            results["shift_invert"] = (z["lam"], z["phi"])
+            out["arpack_wall_s"] = float(z["wall_s"])
+            out["arpack_cached"] = True
+            print(f"[cloud{args.n}] arpack pairs from cache {eig_path}",
+                  file=sys.stderr, flush=True)
+        else:
+            t0 = time.time()
+            lam, phi = solve_generalized_eigenproblem(L, M, args.k, method="shift_invert")
+            out["arpack_wall_s"] = round(time.time() - t0, 1)
+            results["shift_invert"] = (np.asarray(lam), np.asarray(phi))
+            print(f"[cloud{args.n}] arpack in {out['arpack_wall_s']}s",
+                  file=sys.stderr, flush=True)
+            np.savez(eig_path, lam=results["shift_invert"][0],
+                     phi=results["shift_invert"][1], wall_s=out["arpack_wall_s"])
 
     t0 = time.time()
     lam, phi = solve_generalized_eigenproblem(L, M, args.k, method="chefsi")
