@@ -103,6 +103,16 @@ class MeshViewPreProcessor:
         unit_ray_dirs = unit_ray_dirs_numpy(camCv2world, K, coords)
         L = coords.shape[0]
 
+        if L == 0:
+            # Fully-masked-out view: nothing to trace (edge-padding an empty
+            # coord array is also ill-defined), cache nothing.
+            self._finalize_view(
+                camCv2world, None, np.zeros(0, np.int32),
+                np.zeros((0, 3), np.float32), np.zeros(0, bool),
+                expected_rgbs, unit_ray_dirs, mask, None,
+            )
+            return
+
         if self.intersector == "host":
             origins = np.broadcast_to(
                 camCv2world[:3, 3].astype(np.float64), (L, 3)

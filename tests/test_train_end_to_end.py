@@ -180,6 +180,30 @@ def test_loss_types_run(synthetic_setup):
         trainer.train()
 
 
+def test_preprocessor_zero_ray_view(synthetic_setup, tmp_path):
+    """A fully-masked-out view caches nothing instead of crashing the device
+    dispatch (edge-padding an empty coord array is ill-defined) — reference
+    semantics: zero hits appended (mesh.py:451-526 over an empty mask)."""
+    from intrinsic_neural_fields_tpu.data.preprocess import MeshViewPreProcessor
+
+    mvp = MeshViewPreProcessor(
+        synthetic_setup["mesh_path"], str(tmp_path / "pp_empty")
+    )
+    H = W = 16
+    cam = np.eye(4, dtype=np.float32)[:3]
+    cam[2, 3] = 3.0
+    K = np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]], dtype=np.float32)
+    mask = np.zeros((H, W), dtype=bool)
+    img = np.zeros((H, W, 3), dtype=np.float32)
+    mvp.cache_single_view(cam, K, mask, img)
+    # one real view after it so write_to_disk has data to concatenate with
+    mask2 = np.ones((H, W), dtype=bool)
+    mvp.cache_single_view(cam, K, mask2, img)
+    mvp.write_to_disk()
+    face_idxs = np.load(os.path.join(str(tmp_path / "pp_empty"), "face_idxs.npy"))
+    assert face_idxs.ndim == 1
+
+
 def test_k_ranges_config_expansion(tmp_path):
     """`model.k: {ranges: [[a,b], ...]}` expands to the reference's explicit
     index-list form (reference intrinsic_cat.yaml spells out 1023 literals;
