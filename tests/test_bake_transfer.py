@@ -102,6 +102,40 @@ def test_spliced_constant_matches_solver():
     np.testing.assert_allclose(mapped, expected, atol=5e-4)
 
 
+def test_fm_transfer_mid_scale_degenerate_shells():
+    """FM alignment at realistic shell structure (not the k=8 toy): dense
+    blob (10,242 v) source, coarse blob (2,562 v) target, k=48 spanning the
+    complete near-degenerate shells l=1..6 of the near-spherical spectrum.
+    A function synthesized in the source basis must be reproduced at the
+    corresponding target vertices through the FM-mapped basis, while the
+    direct basis swap (no FM) must fail — the shells rotate arbitrarily
+    between discretizations (the mechanism behind the HQ-scale rows in
+    RESULTS.md; reference texture_transfer_cat_tosca2.ipynb cells 6-7)."""
+    from tools.make_synthetic_dataset import blob_mesh
+
+    src = blob_mesh(subdivisions=4)
+    tgt = blob_mesh(subdivisions=3)
+    k = 48  # shells end at cumulative 1,4,9,16,25,36,49: 1..48 = l=1..6 complete
+    E_src_full = _full_basis(src, k + 4)
+    E_tgt_full = _full_basis(tgt, k + 4)
+    M_tgt = voronoi_mass_matrix(tgt.vertices, tgt.faces)
+    corr = np.arange(tgt.num_vertices)  # coarse verts are a prefix of dense
+
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=k) / (1.0 + np.arange(k))  # decaying spectrum
+    truth = (E_src_full[:, 1 : k + 1] @ c)[: tgt.num_vertices]
+
+    mapped = map_eigenfunctions_p2p(
+        E_src_full, E_tgt_full, M_tgt, corr, k, rescale=False
+    )
+    err_fm = np.linalg.norm(mapped @ c - truth) / np.linalg.norm(truth)
+    err_swap = np.linalg.norm(
+        E_tgt_full[:, 1 : k + 1] @ c - truth
+    ) / np.linalg.norm(truth)
+    assert err_fm < 0.05, err_fm
+    assert err_swap > 5 * err_fm, (err_swap, err_fm)
+
+
 def test_transfer_target_correspondences():
     """Icosphere subdivision keeps parent vertices as an exact prefix, and the
     blob bump is per-vertex — the experiment's coarse/dense correspondences
