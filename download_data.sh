@@ -19,7 +19,7 @@ dataPoints=("cat_rescaled_rotated" "cat_dataset_v2_tiny" "cat_tri" "discretizati
 fail=0
 for dataPoint in "${dataPoints[@]}"; do
     if wget "https://vision.in.tum.de/webshare/g/intrinsic-neural-fields/data/${dataPoint}.zip" -P data; then
-        unzip "data/${dataPoint}.zip" -d data
+        unzip -o "data/${dataPoint}.zip" -d data
         rm -f "data/${dataPoint}.zip"
     else
         echo "FAILED to fetch ${dataPoint}.zip" >&2

@@ -40,9 +40,21 @@ def _enable_persistent_jit_cache():
         return
     if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # jax reads the env var itself
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # CPU-only runs (tests, the driver's virtual-mesh dryrun): local
+        # compiles are cheap, and XLA:CPU AOT cache entries are pinned to
+        # the exact machine-feature set of the writing process — loading
+        # them under a different backend configuration spews machine-
+        # feature-mismatch errors and risks SIGILL. The cache exists for
+        # the remote-compile TPU tunnel; keep it scoped to that.
+        return
     try:
         import jax
 
+        if str(getattr(jax.config, "jax_platforms", "") or "").strip().lower() == "cpu":
+            # Callers that force CPU programmatically (jax.config.update in
+            # __graft_entry__.dryrun_multichip) never see the env var set.
+            return
         repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         jax.config.update(
             "jax_compilation_cache_dir", _os.path.join(repo_root, ".jax_cache")

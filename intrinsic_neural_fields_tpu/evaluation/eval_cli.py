@@ -53,14 +53,11 @@ def evaluate_views(output_path, config, dataset_path, split, background="white",
 
     # Pipelined view loop: view i+1's trace+inference is dispatched before
     # view i's colors are fetched and its (host-side) metrics computed, so
-    # the device never idles on the wire or on SSIM convolutions. Async
-    # dispatch is a pure reordering — results are identical to the serial
-    # loop.
-    from collections import deque
+    # the device never idles on the wire or on SSIM convolutions.
+    from ..utils.pipeline import pipelined_foreach
 
-    pending = deque()
-
-    def _finish(i, batch, handle):
+    def _finish(item, handle):
+        i, batch = item
         nonlocal total
         view_id = f"{i:03d}"
         fake_img, hit_ray_idxs = renderer.render_fetch(handle)
@@ -95,21 +92,17 @@ def evaluate_views(output_path, config, dataset_path, split, background="white",
         imwrite(os.path.join(output_path, f"{view_id}_fake.png"), fake_img)
         imwrite(os.path.join(output_path, f"{view_id}_real.png"), real_img)
 
-    for i, batch in enumerate(dataset):
-        pending.append((
-            i, batch,
-            renderer.render_async(
-                batch["camCv2world"],
-                batch["K"],
-                eval_render=True,
-                distortion_coeffs=batch.get("distortion_params"),
-                distortion_type=batch.get("distortion_type"),
-            ),
-        ))
-        if len(pending) > 1:
-            _finish(*pending.popleft())
-    while pending:
-        _finish(*pending.popleft())
+    def _dispatch(item):
+        _, batch = item
+        return renderer.render_async(
+            batch["camCv2world"],
+            batch["K"],
+            eval_render=True,
+            distortion_coeffs=batch.get("distortion_params"),
+            distortion_type=batch.get("distortion_type"),
+        )
+
+    pipelined_foreach(enumerate(dataset), _dispatch, _finish, depth=1)
 
     with open(os.path.join(output_path, "evaluation_metrics.pkl"), "wb") as f:
         pickle.dump(eval_metrics_results, f)

@@ -306,8 +306,100 @@ def _loss_elem(loss_type, pred, gt):
     return c2 * jnp.log1p(diff * diff / c2)
 
 
+def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
+                      acc, n_total, interleave=1):
+    """Forward + loss + backward + gradient accumulation on one batch tile —
+    the shared body of make_fused_train_grads and make_fused_train_adam.
+
+    interleave=S splits the tile into S row chunks and emits the layer chain
+    for all S chunks in lockstep: chunk j+1's matmul has no data dependence
+    on chunk j's, so the MXU can start filling while chunk j drains and while
+    the VPU applies chunk j's bias+relu. At S=1 the op sequence is exactly
+    the historical body (bit-identical). At S>1 each weight gradient becomes
+    a sum of S partial batch contractions — results differ from S=1 by f32
+    reassociation only (the per-chunk math is unchanged). Motivation:
+    RESULTS.md's roofline decomposition puts the S=1 training kernel at ~32%
+    MXU efficiency, bound by the serial dependence of 128-wide matmuls.
+    """
+    S = interleave
+    T = x.shape[0]
+    assert T % S == 0, (T, S)
+    C = T // S
+    xs = [x[j * C:(j + 1) * C] for j in range(S)]
+    gts = [gt[j * C:(j + 1) * C] for j in range(S)]
+
+    def _sum(vals):
+        tot = vals[0]
+        for v in vals[1:]:
+            tot = tot + v
+        return tot
+
+    # forward: S independent chains, ops interleaved per layer
+    acts = [[xj] for xj in xs]
+    hs = list(xs)
+    w = 0
+    for i in range(spec.num_layers - 1):
+        if i == spec.skip_idx:
+            Wh, bh, Wx, bx = wb[w], wb[w + 1], wb[w + 2], wb[w + 3]
+            w += 4
+            pre = [_mm(hs[j], Wh) + bh + _mm(xs[j], Wx) + bx for j in range(S)]
+        else:
+            W, b = wb[w], wb[w + 1]
+            w += 2
+            pre = [_mm(hs[j], W) + b for j in range(S)]
+        hs = [jnp.maximum(p, 0.0) for p in pre]
+        for j in range(S):
+            acts[j].append(hs[j].astype(jnp.bfloat16))
+    Wo, bo = wb[w], wb[w + 1]
+    preds = [jax.nn.sigmoid(_mm(hs[j], Wo) + bo) for j in range(S)]
+
+    # loss + metric sums over the real output columns; seed the deltas
+    loss_vals, sq_vals, ds = [], [], []
+    for j in range(S):
+        col = lax.broadcasted_iota(jnp.int32, preds[j].shape, 1)
+        valid = col < spec.out_dim
+        loss_vals.append(
+            jnp.sum(jnp.where(valid, _loss_elem(loss_type, preds[j], gts[j]), 0.0))
+        )
+        sq_vals.append(jnp.sum(jnp.where(valid, (preds[j] - gts[j]) ** 2, 0.0)))
+        g = jnp.where(
+            valid, _loss_grad_elem(loss_type, preds[j], gts[j], 1.0 / n_total), 0.0
+        )
+        ds.append(g * preds[j] * (1.0 - preds[j]))
+    acc(loss_ref, _sum(loss_vals).reshape(1, 1))
+    acc(sq_ref, _sum(sq_vals).reshape(1, 1))
+
+    slots = []
+    w = 0
+    for i in range(spec.num_layers - 1):
+        n = 4 if i == spec.skip_idx else 2
+        slots.append((i, w, n))
+        w += n
+    out_slot = w
+
+    acc(grad_refs[out_slot],
+        _sum([_mm_tn(acts[j][-1], ds[j]) for j in range(S)]))
+    acc(grad_refs[out_slot + 1],
+        _sum([jnp.sum(ds[j], axis=0, keepdims=True) for j in range(S)]))
+    ds = [_mm_nt(ds[j], wb[out_slot]) for j in range(S)]
+
+    for i, w, n in reversed(slots):
+        ds = [
+            ds[j] * (acts[j][i + 1].astype(jnp.float32) > 0.0) for j in range(S)
+        ]
+        acc(grad_refs[w], _sum([_mm_tn(acts[j][i], ds[j]) for j in range(S)]))
+        acc(grad_refs[w + 1],
+            _sum([jnp.sum(ds[j], 0, keepdims=True) for j in range(S)]))
+        if n == 4:
+            acc(grad_refs[w + 2], _sum([_mm_tn(xs[j], ds[j]) for j in range(S)]))
+            acc(grad_refs[w + 3],
+                _sum([jnp.sum(ds[j], 0, keepdims=True) for j in range(S)]))
+        if i > 0:
+            ds = [_mm_nt(ds[j], wb[w]) for j in range(S)]
+
+
 def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
-                           interpret=None, stream=False):
+                           interpret=None, stream=False, interleave=1):
     """ONE pallas call per training step: forward, loss, backward, gradient
     accumulation — a single HBM read of the batch, a single kernel launch.
 
@@ -332,6 +424,7 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    assert batch_tile % interleave == 0, (batch_tile, interleave)
     n_wb = 2 * len(spec.weight_names())
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -353,18 +446,9 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             # pads with real zeros instead)
             col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
             x = jnp.where(col < spec.k_in, x, jnp.zeros_like(x))
-        gt = gt_ref[:]
-        z, acts = _forward_layers(spec, x, wb)
-        pred = jax.nn.sigmoid(z)
 
         step = pl.program_id(0)
         n_total = pl.num_programs(0) * batch_tile * spec.out_dim
-
-        # mask padded output columns out of the loss
-        col = lax.broadcasted_iota(jnp.int32, pred.shape, 1)
-        valid = col < spec.out_dim
-        loss_val = jnp.sum(jnp.where(valid, _loss_elem(loss_type, pred, gt), 0.0))
-        sq_val = jnp.sum(jnp.where(valid, (pred - gt) ** 2, 0.0))
 
         def acc(ref, val):
             @pl.when(step == 0)
@@ -375,33 +459,9 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             def _():
                 ref[:] = ref[:] + val
 
-        acc(loss_ref, loss_val.reshape(1, 1))
-        acc(sq_ref, sq_val.reshape(1, 1))
-
-        g = jnp.where(valid, _loss_grad_elem(loss_type, pred, gt, 1.0 / n_total), 0.0)
-        d = g * pred * (1.0 - pred)
-
-        slots = []
-        w = 0
-        for i in range(spec.num_layers - 1):
-            n = 4 if i == spec.skip_idx else 2
-            slots.append((i, w, n))
-            w += n
-        out_slot = w
-
-        acc(grad_refs[out_slot], _mm_tn(acts[-1], d))
-        acc(grad_refs[out_slot + 1], jnp.sum(d, axis=0, keepdims=True))
-        d = _mm_nt(d, wb[out_slot])
-
-        for i, w, n in reversed(slots):
-            d = d * (acts[i + 1].astype(jnp.float32) > 0.0)
-            acc(grad_refs[w], _mm_tn(acts[i], d))
-            acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
-            if n == 4:
-                acc(grad_refs[w + 2], _mm_tn(x, d))
-                acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
-            if i > 0:
-                d = _mm_nt(d, wb[w])
+        _train_grads_body(spec, loss_type, x, gt_ref[:], wb, grad_refs,
+                          loss_ref, sq_ref, acc, n_total,
+                          interleave=interleave)
 
     out_shape_tail = (
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -478,7 +538,7 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
 
 
 def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
-                          interpret=None, b1=0.9, b2=0.999, eps=1e-8):
+                          interpret=None, interleave=1):
     """The streaming fused step with the ADAM UPDATE FOLDED INTO THE KERNEL:
     forward, loss, backward, gradient accumulation, and the optimizer update
     run as ONE pallas call — gradients never leave VMEM, and the optax tree
@@ -491,8 +551,10 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     wb/m/v: padded kernel-layout lists (params_to_list layout; m/v are the
     optax ScaleByAdamState mu/nu in the same layout). hyper: [1, 128] f32 —
     lane 0 = learning rate, lane 1 = 1/(1-b1^t), lane 2 = 1/(1-b2^t) for the
-    step's (1-based) count t; the caller precomputes them (one vectorized op
-    per epoch), which keeps the kernel free of scalar transcendentals.
+    step's (1-based) count t, lanes 3..6 = (b1, b2, eps, eps_root); the
+    caller precomputes them via adam_hyper_rows (one vectorized op per
+    epoch), which keeps the kernel free of scalar transcendentals and lets
+    non-default betas/eps ride through as traced values.
 
     Memory plan (the VMEM scope is ~16MB): weights are VMEM residents and
     gradients accumulate in VMEM scratch exactly like make_fused_train_grads;
@@ -503,13 +565,15 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     new_wb/new_m/new_v are input-output aliased, so the update is in-place at
     the HBM level — the epoch scan carries the same buffers.
 
-    Numerics match optax.adam with default betas/eps: mu=(1-b1)g+b1*mu,
-    nu=(1-b2)g^2+b2*nu, update = lr * mu_hat / (sqrt(nu_hat) + eps). The
-    factory's optimizer (optax.inject_hyperparams(optax.adam)(lr)) is exactly
-    this; loss-curve parity vs the XLA path is tested.
+    Numerics match optax.adam (non-nesterov): mu=(1-b1)g+b1*mu,
+    nu=(1-b2)g^2+b2*nu, update = lr * mu_hat / (sqrt(nu_hat + eps_root) +
+    eps), with betas/eps/eps_root taken from the hyper row. The factory's
+    optimizer (optax.inject_hyperparams(optax.adam)(lr)) is exactly this;
+    loss-curve parity vs the XLA path is tested.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    assert batch_tile % interleave == 0, (batch_tile, interleave)
     names = spec.weight_names()
     n_wb = 2 * len(names)
 
@@ -551,18 +615,10 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         if spec.k_in < spec.k_pad:
             col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
             x = jnp.where(col < spec.k_in, x, jnp.zeros_like(x))
-        gt = gt_ref[:]
-        z, acts = _forward_layers(spec, x, wb)
-        pred = jax.nn.sigmoid(z)
 
         step = pl.program_id(0)
         num_programs = pl.num_programs(0)
         n_total = num_programs * batch_tile * spec.out_dim
-
-        col = lax.broadcasted_iota(jnp.int32, pred.shape, 1)
-        valid = col < spec.out_dim
-        loss_val = jnp.sum(jnp.where(valid, _loss_elem(loss_type, pred, gt), 0.0))
-        sq_val = jnp.sum(jnp.where(valid, (pred - gt) ** 2, 0.0))
 
         def acc(ref, val):
             @pl.when(step == 0)
@@ -573,39 +629,19 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             def _():
                 ref[:] = ref[:] + val
 
-        acc(loss_ref, loss_val.reshape(1, 1))
-        acc(sq_ref, sq_val.reshape(1, 1))
-
-        g = jnp.where(valid, _loss_grad_elem(loss_type, pred, gt, 1.0 / n_total), 0.0)
-        d = g * pred * (1.0 - pred)
-
-        slots = []
-        w = 0
-        for i in range(spec.num_layers - 1):
-            n = 4 if i == spec.skip_idx else 2
-            slots.append((i, w, n))
-            w += n
-        out_slot = w
-
-        acc(grad_refs[out_slot], _mm_tn(acts[-1], d))
-        acc(grad_refs[out_slot + 1], jnp.sum(d, axis=0, keepdims=True))
-        d = _mm_nt(d, wb[out_slot])
-
-        for i, w, n in reversed(slots):
-            d = d * (acts[i + 1].astype(jnp.float32) > 0.0)
-            acc(grad_refs[w], _mm_tn(acts[i], d))
-            acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
-            if n == 4:
-                acc(grad_refs[w + 2], _mm_tn(x, d))
-                acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
-            if i > 0:
-                d = _mm_nt(d, wb[w])
+        _train_grads_body(spec, loss_type, x, gt_ref[:], wb, grad_refs,
+                          loss_ref, sq_ref, acc, n_total,
+                          interleave=interleave)
 
         @pl.when(step == num_programs - 1)
         def _adam():
             lr = hyper_ref[0, 0]
             c1 = hyper_ref[0, 1]   # 1/(1-b1^t)
             c2 = hyper_ref[0, 2]   # 1/(1-b2^t)
+            b1 = hyper_ref[0, 3]
+            b2 = hyper_ref[0, 4]
+            eps = hyper_ref[0, 5]
+            eps_root = hyper_ref[0, 6]
             for idx in range(n_wb):
                 a, b = shapes[idx]
                 ms = m_stage.at[:a, :b]
@@ -626,7 +662,9 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
                     gval = grad_refs[idx][sl]
                     m_new = (1.0 - b1) * gval + b1 * m_stage[sl]
                     v_new = (1.0 - b2) * (gval * gval) + b2 * v_stage[sl]
-                    upd = (lr * (m_new * c1)) / (jnp.sqrt(v_new * c2) + eps)
+                    upd = (lr * (m_new * c1)) / (
+                        jnp.sqrt(v_new * c2 + eps_root) + eps
+                    )
                     # grads are consumed — reuse the scratch as the DMA
                     # source for the updated weights
                     grad_refs[idx][sl] = wb_refs[idx][sl] - upd
@@ -700,18 +738,30 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     return run
 
 
-def adam_hyper_rows(counts, learning_rate, b1=0.9, b2=0.999):
+def adam_hyper_rows(counts, learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                    eps_root=0.0):
     """[T, 128] f32 hyper rows for make_fused_train_adam, one per step.
 
     counts: [T] int/float 1-BASED Adam step numbers (optax count_inc).
     Computed once per epoch outside the scan; row t carries
-    (lr, 1/(1-b1^t), 1/(1-b2^t)) in lanes 0..2."""
+    (lr, 1/(1-b1^t), 1/(1-b2^t), b1, b2, eps, eps_root) in lanes 0..6.
+    b1/b2/eps/eps_root may be traced scalars (e.g. straight out of
+    inject_hyperparams' hyperparams dict). The kernel computes (1-b1)/(1-b2)
+    in f32 from these lanes — bit-matching optax under inject_hyperparams,
+    which injects the betas as f32 (plain optax.adam with Python-float betas
+    rounds (1-b) in double first, a 5th-digit difference on (1-0.999))."""
     t = jnp.asarray(counts, jnp.float32)[:, None]
-    lr = jnp.broadcast_to(jnp.asarray(learning_rate, jnp.float32), t.shape)
-    c1 = 1.0 / (1.0 - jnp.power(jnp.float32(b1), t))
-    c2 = 1.0 / (1.0 - jnp.power(jnp.float32(b2), t))
-    zeros = jnp.zeros((t.shape[0], 125), jnp.float32)
-    return jnp.concatenate([lr, c1, c2, zeros], axis=1)
+
+    def _bc(x):
+        return jnp.broadcast_to(jnp.asarray(x, jnp.float32), t.shape)
+
+    lr = _bc(learning_rate)
+    c1 = 1.0 / (1.0 - jnp.power(jnp.asarray(b1, jnp.float32), t))
+    c2 = 1.0 / (1.0 - jnp.power(jnp.asarray(b2, jnp.float32), t))
+    zeros = jnp.zeros((t.shape[0], 121), jnp.float32)
+    return jnp.concatenate(
+        [lr, c1, c2, _bc(b1), _bc(b2), _bc(eps), _bc(eps_root), zeros], axis=1
+    )
 
 
 def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):

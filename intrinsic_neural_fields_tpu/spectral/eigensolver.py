@@ -211,7 +211,7 @@ def _chefsi_device(
     # the OUTPUT rows with lax.map: each block gathers from the full X but
     # only materializes [chunk, dmax, m]. Row padding uses index 0 with
     # weight 0, and the pad rows are sliced off after.
-    one_shot = n * dmax * (k + max(int(k * buffer_frac), 16)) * 4
+    one_shot = n * dmax * m * 4
     if one_shot <= spmv_bytes_budget:
         idx, w = jnp.asarray(idx_np), jnp.asarray(w_np)
 
@@ -219,7 +219,7 @@ def _chefsi_device(
             # [n, dmax] gather of X rows + weighted reduction over neighbors
             return jnp.einsum("nd,ndm->nm", w, X[idx])
     else:
-        chunk = max(1024, int(spmv_bytes_budget // (dmax * (k + max(int(k * buffer_frac), 16)) * 4) // 1024 * 1024))
+        chunk = max(1024, int(spmv_bytes_budget // (dmax * m * 4) // 1024 * 1024))
         n_pad = -(-n // chunk) * chunk
         idx_p = np.zeros((n_pad, dmax), np.int32)
         w_p = np.zeros((n_pad, dmax), np.float32)
@@ -380,6 +380,7 @@ def _chefsi_device(
         # at-scale table; ARPACK is the right tool when a host LU fits).
         evals = None
         prev_r = np.inf
+        stalls = 0
         for _ in range(refine_rounds):
             Xf = X_host
             # same conditioning-adaptive chaining as the device loop, but
@@ -411,10 +412,20 @@ def _chefsi_device(
                       file=sys.stderr, flush=True)
             if r < 1e-8 * max(np.abs(evals).max(), 1e-12 * lam_max):
                 break
-            if r > 0.9 * prev_r:
-                break
-            prev_r = r
+            # Refresh the Chebyshev window from the current Ritz values
+            # BEFORE judging a stall: a round can contract <10% purely
+            # because it filtered with a mis-estimated lam_cut inherited
+            # from the f32 device loop, and the refresh is what fixes that.
+            # Two-strike rule like the device loop — one refreshed retry
+            # before concluding rounds stopped buying anything.
             lam_cut = min(max(float(theta_h[k]), 1e-6 * lam_max), 0.9 * lam_max)
+            if r > 0.9 * prev_r:
+                stalls += 1
+                if stalls >= 2:
+                    break
+            else:
+                stalls = 0
+            prev_r = min(prev_r, r)
     else:
         evals = np.asarray(theta, dtype=np.float64)[:k]
 

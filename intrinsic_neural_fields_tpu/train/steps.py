@@ -116,17 +116,37 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
 
 
 def _adam_opt_view(opt_state):
-    """(lr, ScaleByAdamState, inner_state tuple) when opt_state is the
-    factory's optax.inject_hyperparams(optax.adam)(lr) state; None for any
-    other optimizer (structure probed at trace time, not runtime)."""
+    """(hyperparams dict, ScaleByAdamState, inner_state tuple) when opt_state
+    is an optax.inject_hyperparams(optax.adam)(...) state; None for any other
+    optimizer (structure probed at trace time, not runtime).
+
+    The probe is deliberately strict: the hyperparam key set must be exactly
+    Adam's (so inject_hyperparams(optax.adamw) — whose state is structurally
+    identical but carries a weight_decay hyperparam the kernel would silently
+    drop — is rejected), the transforms after scale_by_adam must be stateless,
+    and schedule-driven hyperparams (non-empty hyperparams_states) fall back
+    to the optax path. Non-default b1/b2/eps/eps_root are fine — they ride
+    into the kernel through the hyper row. The one thing structure cannot
+    reveal is optax.adam(nesterov=True) (a static arg, absent from the
+    state); pass training.fused_adam: false for that."""
+    import jax as _jax
+
     try:
-        lr = opt_state.hyperparams["learning_rate"]
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"]
         inner = opt_state.inner_state
         adam = inner[0]
         adam.mu, adam.nu, adam.count  # noqa: B018 — attribute probe
+        hp_states = opt_state.hyperparams_states
     except (AttributeError, KeyError, TypeError, IndexError):
         return None
-    return lr, adam, inner
+    if set(hp) != {"learning_rate", "b1", "b2", "eps", "eps_root"}:
+        return None  # adamw's weight_decay, or any unknown hyperparam
+    if _jax.tree_util.tree_leaves(tuple(inner[1:])):
+        return None  # stateful transform after scale_by_adam
+    if _jax.tree_util.tree_leaves(hp_states):
+        return None  # scheduled hyperparams advance per optax update call
+    return hp, adam, inner
 
 
 def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
@@ -158,8 +178,11 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       (ops/fused_mlp.make_fused_train_adam): gradients stay in VMEM scratch,
       params/m/v update in place via input-output aliasing — the per-step
       optax tree update disappears. Applies only on the streaming blocks
-      path when the optimizer is the factory's Adam (default betas); any
-      other optimizer silently keeps the optax update.
+      path when the optimizer is inject_hyperparams(optax.adam) (any
+      betas/eps — they ride through the hyper row; nesterov is not
+      representable in the state and must use fused_adam=False); anything
+      else (adamw, schedules, extra transforms) silently keeps the optax
+      update — see _adam_opt_view.
     """
     assert shuffle in ("full", "blocks")
     if fused:
@@ -260,12 +283,15 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
             # kernel's padded layout (updated IN PLACE by the aliased pallas
             # outputs) plus the loss accumulators; hyper rows (lr and the
             # bias-correction factors per step) are precomputed vectorized.
-            lr_hp, adam_state, adam_inner = adam_view
+            hp, adam_state, adam_inner = adam_view
             wb0 = wb_from_padded(spec, pad_flax_params(spec, state.params))
             m0 = wb_from_padded(spec, pad_flax_params(spec, adam_state.mu))
             v0 = wb_from_padded(spec, pad_flax_params(spec, adam_state.nu))
             hyper_all = adam_hyper_rows(
-                adam_state.count + 1 + jnp.arange(num_batches), lr_hp
+                adam_state.count + 1 + jnp.arange(num_batches),
+                hp["learning_rate"],
+                b1=hp["b1"], b2=hp["b2"], eps=hp["eps"],
+                eps_root=hp["eps_root"],
             )
 
             def kernel_adam_step(carry, i):
@@ -298,8 +324,11 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
             new_adam = adam_state._replace(
                 count=adam_state.count + jnp.int32(num_batches), mu=mu, nu=nu
             )
+            # Advance the outer InjectHyperparamsState.count too — the optax
+            # path increments it once per update call.
             opt_state = state.opt_state._replace(
-                inner_state=(new_adam,) + tuple(adam_inner[1:])
+                count=state.opt_state.count + jnp.int32(num_batches),
+                inner_state=(new_adam,) + tuple(adam_inner[1:]),
             )
             metrics = {
                 "loss": acc_loss / acc_n,

@@ -6,3 +6,4 @@ from .io import (
     imwrite,
 )
 from .checkpoint import save_checkpoint, load_checkpoint
+from .pipeline import pipelined_foreach

@@ -93,29 +93,22 @@ def main():
     angles = np.linspace(0, args.turns * 360, num_images)
     # Pipelined render loop: dispatch frame i+1..i+depth before fetching
     # frame i, so the device computes the next frames while frame i crosses
-    # the (slow) device->host wire. JAX's async dispatch makes this a pure
-    # reordering — frames are bit-identical to the serial loop.
-    from collections import deque
+    # the (slow) device->host wire (utils.pipeline.pipelined_foreach).
+    from intrinsic_neural_fields_tpu.utils.pipeline import pipelined_foreach
 
-    depth = 2
-    pending = deque()
-
-    def drain_one():
-        idx, handle = pending.popleft()
-        imwrite(join(image_folder, f"{idx:04d}.jpg"), renderer.render_fetch(handle))
-
-    for idx, a in enumerate(angles):
+    def dispatch(item):
+        _, a = item
         st, ct = np.sin(np.deg2rad(a)), np.cos(np.deg2rad(a))
         pose_obj = np.eye(4, dtype=np.float32)
         pose_obj[:3, :3] = np.array([[ct, -st, 0], [st, ct, 0], [0, 0, 1]])
         pose_render = pose_obj @ cam44
-        pending.append(
-            (idx, renderer.render_async(pose_render[:3], cam_render["K"]))
-        )
-        if len(pending) > depth:
-            drain_one()
-    while pending:
-        drain_one()
+        return renderer.render_async(pose_render[:3], cam_render["K"])
+
+    def finish(item, handle):
+        idx, _ = item
+        imwrite(join(image_folder, f"{idx:04d}.jpg"), renderer.render_fetch(handle))
+
+    pipelined_foreach(enumerate(angles), dispatch, finish, depth=2)
 
     import shutil as _shutil
 

@@ -89,7 +89,11 @@ def test_multi_step_state_chained(setup):
 
     run_adam = make_fused_train_adam(spec, "L1", batch_tile=tile)
     run_grads = make_fused_train_grads(spec, "L1", batch_tile=tile, stream=True)
-    opt = optax.adam(lr)
+    # inject_hyperparams is the factory's optimizer and the kernel's exact
+    # numerics contract: betas are injected as f32, so optax's (1-b2) is the
+    # f32 difference — plain optax.adam with Python-float betas rounds
+    # (1-0.999) differently in the 5th digit and drifts visibly by step 2.
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
     wb_a = [jnp.array(w) for w in wb]
     m = [jnp.zeros_like(w) for w in wb]
@@ -292,3 +296,101 @@ def test_lr_flows_from_opt_state(setup, rng):
     )
     assert moved
     assert int(state.opt_state.inner_state[0].count) == 2
+
+def test_opt_view_rejects_lookalikes():
+    """_adam_opt_view must accept only inject_hyperparams(optax.adam):
+    adamw's state is structurally identical (its extra transforms are
+    stateless) and would silently lose its weight decay in the kernel."""
+    from intrinsic_neural_fields_tpu.train.steps import _adam_opt_view
+
+    p = {"w": jnp.zeros((4,))}
+    accept = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    assert _adam_opt_view(accept.init(p)) is not None
+    accept_betas = optax.inject_hyperparams(optax.adam)(
+        learning_rate=1e-3, b1=0.8, b2=0.95, eps=1e-6
+    )
+    assert _adam_opt_view(accept_betas.init(p)) is not None
+
+    reject = [
+        optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3),
+        optax.adam(1e-3),  # no hyperparams wrapper
+        optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3),
+        # schedule-driven lr: hyperparams_states is non-empty
+        optax.inject_hyperparams(optax.adam)(
+            learning_rate=optax.linear_schedule(1e-3, 1e-4, 10)
+        ),
+    ]
+    for opt in reject:
+        assert _adam_opt_view(opt.init(p)) is None
+
+
+def test_custom_betas_ride_the_hyper_row(setup, rng):
+    """Non-default b1/b2/eps must flow from inject_hyperparams into the
+    kernel (they ride the hyper row as traced values) — one-batch epoch
+    parity vs the optax path at b1=0.8, b2=0.95, eps=1e-6, and the outer
+    InjectHyperparamsState.count must advance like optax's."""
+    from intrinsic_neural_fields_tpu.data.sampler import (
+        RayData,
+        precompute_hit_features,
+    )
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        make_epoch_fns,
+    )
+
+    model, variables = setup["model"], setup["variables"]
+    k = setup["spec"].k_in
+    N = V = batch = 256
+    data = precompute_hit_features(
+        RayData(
+            features=jnp.asarray(rng.normal(size=(V, k)).astype(np.float32)),
+            feature_strategy="efuncs",
+            vertex_idxs_of_hit_faces=jnp.asarray(
+                rng.integers(0, V, size=(N, 3)).astype(np.int32)
+            ),
+            barycentric_coords=jnp.asarray(
+                rng.dirichlet(np.ones(3), size=N).astype(np.float32)
+            ),
+            expected_rgbs=jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32)),
+            unit_ray_dirs=None,
+            face_idxs=None,
+        )
+    )
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=1e-3, b1=0.8, b2=0.95, eps=1e-6
+    )
+
+    states = {}
+    for fa in (True, False):
+        train_epoch, _ = make_epoch_fns(
+            model, optimizer, "L1", shuffle="blocks", fused=True, fused_adam=fa
+        )
+        st = create_train_state(
+            jax.tree_util.tree_map(jnp.array, variables), optimizer
+        )
+        st, m = train_epoch(st, jax.random.PRNGKey(0), data, 1, batch)
+        states[fa] = (st, float(m["loss"]))
+
+    assert states[True][1] == pytest.approx(states[False][1], rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(states[True][0].params),
+                    jax.tree_util.tree_leaves(states[False][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # sanity: custom betas actually CHANGED the step (vs default betas)
+    opt_def = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    train_def, _ = make_epoch_fns(
+        model, opt_def, "L1", shuffle="blocks", fused=True, fused_adam=True
+    )
+    st_def = create_train_state(
+        jax.tree_util.tree_map(jnp.array, variables), opt_def
+    )
+    st_def, _ = train_def(st_def, jax.random.PRNGKey(0), data, 1, batch)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(states[True][0].params),
+                        jax.tree_util.tree_leaves(st_def.params))
+    ]
+    assert max(diffs) > 1e-6
+    # outer count advanced in lockstep with the optax path
+    assert int(states[True][0].opt_state.count) == int(
+        states[False][0].opt_state.count
+    ) == 1

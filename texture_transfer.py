@@ -112,7 +112,13 @@ def main():
     config = load_config(args.config_path)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    if args.render_source_too and args.cameras_path:
+    if args.render_source_too and not args.cameras_path:
+        raise SystemExit(
+            "--render_source_too needs --cameras_path: source views are "
+            "rendered at explicit poses (the --eval_dataset split drives "
+            "only the transferred-field eval)"
+        )
+    if args.render_source_too:
         src_renderer = make_renderer_with_trained_model(config)
         cameras = np.load(args.cameras_path)
         n_cams = len([k for k in cameras.keys() if k.startswith("world_mat_")])

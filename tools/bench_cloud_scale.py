@@ -26,6 +26,7 @@ Prints one JSON line (recorded in RESULTS.md).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -78,7 +79,14 @@ def main():
 
     out = {"n_points": args.n, "k": args.k}
     os.makedirs(args.cache, exist_ok=True)
-    tag = f"n{args.n}_nn{args.n_neighbors}"
+    # The tag must identify the INPUT surface too — without it a rerun with
+    # a different --mesh would silently reuse the previous mesh's sampled
+    # points/Laplacian/ARPACK pairs from the cache.
+    mesh_id = hashlib.sha1(
+        (os.path.abspath(args.mesh)
+         + str(os.path.getmtime(args.mesh))).encode()
+    ).hexdigest()[:10]
+    tag = f"n{args.n}_nn{args.n_neighbors}_m{mesh_id}"
     geo_path = os.path.join(args.cache, f"geo_{tag}.npz")
     eig_path = os.path.join(args.cache, f"arpack_{tag}_k{args.k}.npz")
 

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 from intrinsic_neural_fields_tpu.data.datasets import read_split_list
+from intrinsic_neural_fields_tpu.utils.pipeline import pipelined_foreach
 from intrinsic_neural_fields_tpu.data.preprocess import MeshViewPreProcessor
 from intrinsic_neural_fields_tpu.ops.ray_gen import (
     pixel_grid_coords,
@@ -93,22 +94,21 @@ def main():
     for cam, K, c, _, _ in rays:
         pre._intersect_coords(cam, K, c)
     t0 = time.time()
-    pend = []
     per_view = []
 
-    def drain(p):
+    def dispatch(item):
+        vi, (cam, K, c, _, _) = item
+        h = pre._dispatch_trace(cam, K, c)
+        print(f"[device] view {vi + 1}/{len(rays)} "
+              f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+        return h, c.shape[0]
+
+    def finish(_item, p):
         h, L = p
         t, f, b, v = jax.device_get((h.t, h.face_idx, h.bary, h.valid))
         per_view.append((t[:L], f[:L], b[:L], v[:L]))
 
-    for vi, (cam, K, c, _, _) in enumerate(rays):
-        pend.append((pre._dispatch_trace(cam, K, c), c.shape[0]))
-        if len(pend) > 2:
-            drain(pend.pop(0))
-        print(f"[device] view {vi + 1}/{len(rays)} "
-              f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-    while pend:
-        drain(pend.pop(0))
+    pipelined_foreach(enumerate(rays), dispatch, finish, depth=2)
     wall = time.time() - t0
     hits["device"] = per_view
     results["device_wall_s"] = round(wall, 3)

@@ -19,11 +19,12 @@ import json
 import os
 import sys
 import time
-from collections import deque
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from intrinsic_neural_fields_tpu.utils.pipeline import pipelined_foreach  # noqa: E402
 
 REF_RAYS_PER_S = 32_000.0
 
@@ -84,13 +85,12 @@ def main():
     results["serial_rays_per_s"] = round(rays / serial)
 
     t0 = time.time()
-    pend = deque()
-    for cam in cams:
-        pend.append(renderer.render_async(cam, K))
-        if len(pend) > args.depth:
-            renderer.render_fetch(pend.popleft())
-    while pend:
-        renderer.render_fetch(pend.popleft())
+    pipelined_foreach(
+        cams,
+        lambda cam: renderer.render_async(cam, K),
+        lambda _cam, h: renderer.render_fetch(h),
+        depth=args.depth,
+    )
     piped = time.time() - t0
     results["pipelined_s_per_frame"] = round(piped / args.frames, 4)
     results["pipelined_rays_per_s"] = round(rays / piped)
