@@ -260,3 +260,44 @@ def test_fused_tile_budget_choices():
     # the canonical bf16-stream cat scale (verified compiling on the chip)
     assert _pick_fused_tile(spec_for(1023), 4096, stream=True, x_bytes=2,
                             adam=True) == 1024
+
+
+def test_train_grads_interleave_matches():
+    """interleave=2 (two independent sub-tile chains, MXU latency hiding)
+    must match interleave=1 up to f32 reassociation of the batch
+    contraction: same loss, gradients within a tight tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.models.factory import init_model, make_model
+    from intrinsic_neural_fields_tpu.ops.fused_mlp import (
+        FusedMLPSpec,
+        make_fused_train_grads,
+        params_to_list,
+    )
+
+    spec = FusedMLPSpec(num_layers=4, k_in=60, hidden=128, skip_idx=1)
+    cfg = {"k": spec.k_in, "num_layers": spec.num_layers,
+           "mlp_hidden_dim": spec.hidden, "skip_layer_idx": spec.skip_idx}
+    variables = init_model(make_model(cfg), cfg)
+    wb = params_to_list(spec, variables["params"])
+
+    r = np.random.default_rng(3)
+    B, tile = 512, 256
+    feats = jnp.asarray(r.normal(size=(B, spec.k_pad)).astype(np.float32))
+    feats = feats.at[:, spec.k_in:].set(3.33)  # garbage lanes, zeroed in-kernel
+    gt = jnp.asarray(r.uniform(size=(B, 3)).astype(np.float32))
+
+    outs = {}
+    for s in (1, 2):
+        run = make_fused_train_grads(spec, "L1", batch_tile=tile, stream=True,
+                                     interleave=s)
+        outs[s] = run(wb, feats, gt, 0, B)
+
+    g1, l1, q1 = outs[1]
+    g2, l2, q2 = outs[2]
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(float(q2), float(q1), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-7, rtol=1e-4)
