@@ -150,7 +150,7 @@ def _adam_opt_view(opt_state):
 
 
 def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
-                   fused_adam=True):
+                   fused_adam=True, fused_interleave=1):
     """Build (train_epoch, val_epoch), both jitted.
 
     train_epoch(state, key, data, num_batches, batch_size)
@@ -183,6 +183,11 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       representable in the state and must use fused_adam=False); anything
       else (adamw, schedules, extra transforms) silently keeps the optax
       update — see _adam_opt_view.
+    fused_interleave:
+      sub-tile chains per batch tile inside the fused kernels
+      (ops/fused_mlp._train_grads_body): >1 splits each tile into
+      independent matmul chains so the MXU can overlap fill/drain across
+      them. Gradient sums reassociate in f32 (parity-tested).
     """
     assert shuffle in ("full", "blocks")
     if fused:
@@ -268,6 +273,7 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                         spec, batch_size, stream=True, x_bytes=x_bytes,
                         adam=True,
                     ),
+                    interleave=fused_interleave,
                 )
             else:
                 fused_run = make_fused_train_grads(
@@ -276,6 +282,7 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                         spec, batch_size, stream=fused_stream, x_bytes=x_bytes
                     ),
                     stream=fused_stream,
+                    interleave=fused_interleave,
                 )
 
         if use_kernel_adam:

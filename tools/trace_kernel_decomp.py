@@ -40,6 +40,10 @@ def main():
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--iters", type=int, default=256)
     p.add_argument("--batch_tile", type=int, default=1024)
+    p.add_argument("--interleave", type=int, default=1,
+                   help="sub-tile chains per batch tile in the training "
+                        "kernels (independent matmul chains hide MXU "
+                        "fill/drain; 1 = historical behavior)")
     args = p.parse_args()
 
     import jax
@@ -69,8 +73,9 @@ def main():
 
     fwd = make_fused_apply(spec, batch_tile=args.batch_tile)
     grads = make_fused_train_grads(spec, "L1", batch_tile=args.batch_tile,
-                                   stream=True)
-    adam = make_fused_train_adam(spec, "L1", batch_tile=args.batch_tile)
+                                   stream=True, interleave=args.interleave)
+    adam = make_fused_train_adam(spec, "L1", batch_tile=args.batch_tile,
+                                 interleave=args.interleave)
     x_pad = feats[:B].astype(jnp.float32)  # fwd kernel takes explicit f32 x
 
     @jax.jit
