@@ -298,3 +298,47 @@ def test_pipelined_foreach_order_and_depth():
         assert n == 7
         assert [i for op, i in log if op == "f"] == list(range(7))
         assert [i for op, i in log if op == "d"] == list(range(7))
+
+
+def test_checkpoint_resume_fused_adam_path(synthetic_setup):
+    """Resume determinism THROUGH THE FUSED IN-KERNEL-ADAM PATH: the
+    checkpoint round-trips opt_state (mu/nu/count + inject hyperparams)
+    through msgpack, and the restored state must keep training identically
+    (the strict _adam_opt_view probe must also still accept it)."""
+    def fused_config(name, epochs, checkpoint_every):
+        cfg = synthetic_setup["config"](
+            name, epochs=epochs, checkpoint_every=checkpoint_every,
+            batch_size=256,
+        )
+        cfg["model"]["mlp_hidden_dim"] = 128  # fused path needs lane-aligned H
+        cfg["training"]["shuffle"] = "blocks"
+        cfg["training"]["fused_mlp"] = True
+        cfg["data"]["precompute_dtype"] = "bfloat16"
+        return cfg
+
+    cfg_a = fused_config("out_fresume_a", epochs=6, checkpoint_every=100)
+    trainer_a, _ = _build_trainer(cfg_a)
+    trainer_a.train()
+    params_a = jax.device_get(trainer_a.state.params)
+
+    cfg_b = fused_config("out_fresume_b", epochs=4, checkpoint_every=4)
+    trainer_b, _ = _build_trainer(cfg_b)
+    trainer_b.train()
+
+    cfg_b2 = fused_config("out_fresume_b", epochs=6, checkpoint_every=4)
+    trainer_b2, _ = _build_trainer(cfg_b2)
+    trainer_b2.train()
+    params_b = jax.device_get(trainer_b2.state.params)
+
+    # the restored optimizer must have gone through the KERNEL path, not the
+    # optax fallback: the strict probe accepts the msgpack'd opt_state
+    from intrinsic_neural_fields_tpu.train.steps import _adam_opt_view
+
+    assert _adam_opt_view(trainer_b2.state.opt_state) is not None
+    assert int(trainer_b2.state.opt_state.inner_state[0].count) == int(
+        trainer_a.state.opt_state.inner_state[0].count
+    )
+
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
