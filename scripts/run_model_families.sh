@@ -13,7 +13,14 @@ if [ ! -f pretrained/blob_pretrained_neutex_mapping.npz ]; then
     pretrained/blob_pretrained_neutex_mapping.npz --iterations 40000
 fi
 
-for fam in tf_rff_blob xyz_blob hks_blob viewdep_intrinsic_blob viewdep_extrinsic_blob neutex_blob; do
+# SHOT family: the descriptor matrix is computed in-repo (the reference
+# downloads its precomputed one — tools/compute_shot.py replaces that)
+if [ ! -f data/synthetic_hq/efuncs/blob_shot.npy ]; then
+  python tools/compute_shot.py data/synthetic_hq/efuncs/blob_shot.npy \
+    data/synthetic_hq/blob.obj
+fi
+
+for fam in tf_rff_blob xyz_blob hks_blob shot_blob viewdep_intrinsic_blob viewdep_extrinsic_blob neutex_blob; do
   echo "=== $fam ==="
   python train.py configs/synthetic/$fam.yaml --allow_checkpoint_loading
   python eval.py out/synthetic/$fam/test_eval configs/synthetic/$fam.yaml data/synthetic_hq test

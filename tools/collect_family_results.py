@@ -21,6 +21,7 @@ FAMILIES = [
     "tf_rff_blob",
     "xyz_blob",
     "hks_blob",
+    "shot_blob",
     "viewdep_intrinsic_blob",
     "viewdep_extrinsic_blob",
     "neutex_blob",
