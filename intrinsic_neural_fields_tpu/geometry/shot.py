@@ -24,7 +24,8 @@ Algorithm per vertex p with support radius r:
      along all four dimensions (cosine bin, azimuth, elevation, radial) —
      PCL's "quadrilinear" interpolation: per dimension the unit weight
      splits (1-|off|, |off|) between the two nearest bins; azimuth wraps,
-     the other dimensions drop the out-of-range share.
+     the bounded dimensions clamp — beyond the first/last bin center the
+     edge bin takes the full unit weight (see _split).
   4. the concatenated 352-vector is L2-normalized.
 
 Everything is vectorized numpy over the flattened (vertex, neighbor) pair
@@ -67,18 +68,21 @@ def _neighbor_pairs(vertices, radius):
     return ci, ni
 
 
-def _local_reference_frames(vertices, ci, ni, radius, min_neighbors):
+def _local_reference_frames(vertices, ci, ni, radius, min_neighbors,
+                            d_vec=None, dist=None):
     """[V, 3, 3] LRF rows (x, y, z axes) per vertex; invalid-mask [V].
 
     Covariance weighted by (radius - d) over the support (the paper's eq. 3);
     axes are covariance eigenvectors with x = largest / z = smallest
     eigenvalue, each sign-flipped to agree with the majority of the
     neighbor offsets it projects (x over all neighbors, z likewise);
-    y = z cross x.
+    y = z cross x. d_vec/dist may be passed in to share the O(pairs)
+    geometry arrays with the caller's binning stage.
     """
     n = len(vertices)
-    d_vec = vertices[ni] - vertices[ci]                        # [P, 3]
-    dist = np.linalg.norm(d_vec, axis=1)
+    if d_vec is None:
+        d_vec = vertices[ni] - vertices[ci]                    # [P, 3]
+        dist = np.linalg.norm(d_vec, axis=1)
     w = np.maximum(radius - dist, 0.0)                         # [P]
 
     wsum = np.zeros(n)
@@ -145,11 +149,13 @@ def compute_shot_descriptors(vertices, faces, radius=None, min_neighbors=5):
         radius = 0.05 * float(np.linalg.norm(v.max(0) - v.min(0)))
     normals = vertex_normals(v, faces)
     ci, ni = _neighbor_pairs(v, radius)
-    frames, invalid = _local_reference_frames(v, ci, ni, radius, min_neighbors)
-
-    # neighbor offsets in LRF coordinates
     d_vec = v[ni] - v[ci]
     dist = np.linalg.norm(d_vec, axis=1)
+    frames, invalid = _local_reference_frames(
+        v, ci, ni, radius, min_neighbors, d_vec=d_vec, dist=dist
+    )
+
+    # neighbor offsets in LRF coordinates
     local = np.einsum("pad,pd->pa", frames[ci], d_vec)   # [P, 3] (x, y, z)
 
     # --- four soft-binned coordinates per pair ---------------------------

@@ -43,10 +43,17 @@ def postprocess_eigenfunctions(
             raise ValueError(f"Unknown embedding strategy {embed_strategy}")
 
     if rescale_strategy == "standard":
-        eigenfunctions = eigenfunctions / (
+        rng = (
             np.max(eigenfunctions, axis=0, keepdims=True)
             - np.min(eigenfunctions, axis=0, keepdims=True)
         )
+        # ≈ deviation from the reference (mesh.py:99-102 divides unguarded):
+        # a constant column has range 0 and would turn into NaN/inf, which
+        # poisons the whole MLP. Eigenfunction columns are never constant,
+        # but descriptor matrices loaded through the same path are — SHOT
+        # leaves structurally-empty histogram bins (e.g. 288/352 columns on
+        # a smooth blob) identically zero. Leave zero-range columns as-is.
+        eigenfunctions = np.where(rng > 0, eigenfunctions / np.where(rng > 0, rng, 1.0), eigenfunctions)
     elif rescale_strategy == "one-norm":
         eigenfunctions = eigenfunctions / np.linalg.norm(
             eigenfunctions, ord=2, axis=-1, keepdims=True

@@ -162,14 +162,27 @@ def test_cli_and_config_contract(tmp_path):
         load_first_k_eigenfunctions,
     )
 
+    import os
+
     m = icosphere(2)
     mesh_path = str(tmp_path / "m.obj")
     write_obj(mesh_path, m.vertices, m.faces)
     out = str(tmp_path / "m_shot.npy")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # icosphere(2)'s ~0.26 edge length exceeds the default 5%-diag radius
+    # (which targets real scan density) — pass one that gives every vertex
+    # a ring of support
     r = subprocess.run(
-        [_sys.executable, "tools/compute_shot.py", out, mesh_path],
-        capture_output=True, text=True,
+        [_sys.executable, os.path.join(repo_root, "tools", "compute_shot.py"),
+         out, mesh_path, "--radius", "0.6"],
+        capture_output=True, text=True, cwd=repo_root,
     )
     assert r.returncode == 0, r.stderr
-    E = load_first_k_eigenfunctions(out, 352, rescale_strategy="unscaled")
-    assert np.asarray(E).shape == (m.num_vertices, 352)
+    # the DEFAULT rescale_strategy ("standard") is what train/eval apply to
+    # the shot configs; SHOT matrices have structurally-zero columns (empty
+    # histogram bins), so this pins the zero-range guard in features.py —
+    # an unguarded (max-min) division NaN'd 288/352 columns
+    E = np.asarray(load_first_k_eigenfunctions(out, 352))
+    assert E.shape == (m.num_vertices, 352)
+    assert np.isfinite(E).all()
+    assert (np.abs(E).sum(0) > 0).sum() >= 32  # real signal survives rescale
