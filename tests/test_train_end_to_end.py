@@ -342,3 +342,34 @@ def test_checkpoint_resume_fused_adam_path(synthetic_setup):
     for a, b in zip(jax.tree_util.tree_leaves(params_a),
                     jax.tree_util.tree_leaves(params_b)):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_shot_family_end_to_end_smoke(synthetic_setup, tmp_path):
+    """The shape-descriptor SHOT family path end to end at toy scale:
+    compute_shot_descriptors -> npy -> the config-default feature loading
+    (standard rescale over structurally-zero columns) -> train a few epochs
+    -> finite, decreasing loss. Pins the path configs/synthetic/
+    shot_blob.yaml takes on the HQ dataset."""
+    import numpy as np
+
+    from intrinsic_neural_fields_tpu.geometry.mesh import load_mesh
+    from intrinsic_neural_fields_tpu.geometry.shot import compute_shot_descriptors
+
+    mesh = load_mesh(synthetic_setup["mesh_path"])
+    E = compute_shot_descriptors(mesh.vertices, mesh.faces, radius=0.4)
+    assert np.isfinite(E).all() and (np.linalg.norm(E, axis=1) > 0).mean() > 0.95
+    shot_path = str(tmp_path / "blob_shot.npy")
+    np.save(shot_path, E)
+
+    cfg = synthetic_setup["config"]("out_shot_smoke", epochs=8)
+    cfg["data"]["eigenfunctions_path"] = shot_path
+    cfg["model"]["k"] = 352
+    trainer, _ = _build_trainer(cfg)
+    trainer.train()
+    m = jax.device_get(trainer.val_epoch_fn(trainer.state, trainer.train_data, 512))
+    assert np.isfinite(float(m["loss"]))
+    from intrinsic_neural_fields_tpu.evaluation.metrics import epoch_psnr
+
+    # SHOT features carry enough spatial signal to start fitting (well above
+    # the ~7 dB an untrained field scores); quality at scale is a TPU run
+    assert epoch_psnr(m["sq_err_per_sample"]) > 10.0
