@@ -85,18 +85,17 @@ def _local_reference_frames(vertices, ci, ni, radius, min_neighbors,
         dist = np.linalg.norm(d_vec, axis=1)
     w = np.maximum(radius - dist, 0.0)                         # [P]
 
-    wsum = np.zeros(n)
-    np.add.at(wsum, ci, w)
+    # np.bincount for every per-vertex reduction: ~10x np.add.at at the
+    # reference's pair counts (12.6M pairs at cat scale)
+    wsum = np.bincount(ci, weights=w, minlength=n)
     cov = np.zeros((n, 3, 3))
     wd = d_vec * w[:, None]
     for a in range(3):
         for b in range(a, 3):
-            acc = np.zeros(n)
-            np.add.at(acc, ci, wd[:, a] * d_vec[:, b])
+            acc = np.bincount(ci, weights=wd[:, a] * d_vec[:, b], minlength=n)
             cov[:, a, b] = acc
             cov[:, b, a] = acc
-    counts = np.zeros(n, np.int64)
-    np.add.at(counts, ci, 1)
+    counts = np.bincount(ci, minlength=n)
     invalid = (counts < min_neighbors) | (wsum <= 0)
     cov[~invalid] /= wsum[~invalid, None, None]
     cov[invalid] = np.eye(3)
@@ -119,10 +118,10 @@ def _local_reference_frames(vertices, ci, ni, radius, min_neighbors,
         # pure-fp-noise projection sign — drop them from the count vote
         # (regular meshes put neighbors exactly on such planes)
         signif = np.abs(proj) > 1e-9 * radius
-        vote = np.zeros(n)
-        np.add.at(vote, ci, np.where(signif, np.sign(proj), 0.0))
-        cubic = np.zeros(n)
-        np.add.at(cubic, ci, w * proj ** 3)
+        vote = np.bincount(
+            ci, weights=np.where(signif, np.sign(proj), 0.0), minlength=n
+        )
+        cubic = np.bincount(ci, weights=w * proj ** 3, minlength=n)
         use = np.where(vote != 0, vote, cubic)
         flip = use < 0
         axis[flip] = -axis[flip]
@@ -205,24 +204,26 @@ def compute_shot_descriptors(vertices, faces, radius=None, min_neighbors=5):
     el_b, el_w = _split(el_pos, N_ELEVATION, wrap=False)
     ra_b, ra_w = _split(ra_pos, N_RADIAL, wrap=False)
 
-    # accumulate the 2^4 quadrilinear contributions
-    desc = np.zeros((len(v), N_AZIMUTH, N_ELEVATION, N_RADIAL, N_COS_BINS))
+    # accumulate the 2^4 quadrilinear contributions: one flat bincount per
+    # combination over the full pair list (np.add.at on the 5-D array was
+    # ~10x slower at the reference's 12.6M-pair cat scale)
+    flat = np.zeros(len(v) * SHOT_DIM)
     for ia in range(2):
         for ie in range(2):
             for ir in range(2):
                 for ic in range(2):
-                    w = az_w[ia] * el_w[ie] * ra_w[ir] * cos_w[ic]
-                    nz = w > 0
+                    wq = az_w[ia] * el_w[ie] * ra_w[ir] * cos_w[ic]
+                    nz = wq > 0
                     if not nz.any():
                         continue
-                    np.add.at(
-                        desc,
-                        (ci[nz], az_b[ia][nz], el_b[ie][nz],
-                         ra_b[ir][nz], cos_b[ic][nz]),
-                        w[nz],
-                    )
+                    idx = (
+                        ((ci[nz] * N_AZIMUTH + az_b[ia][nz]) * N_ELEVATION
+                         + el_b[ie][nz]) * N_RADIAL + ra_b[ir][nz]
+                    ) * N_COS_BINS + cos_b[ic][nz]
+                    flat += np.bincount(idx, weights=wq[nz],
+                                        minlength=len(v) * SHOT_DIM)
 
-    flat = desc.reshape(len(v), SHOT_DIM)
+    flat = flat.reshape(len(v), SHOT_DIM)
     flat[invalid] = 0.0
     norms = np.linalg.norm(flat, axis=1, keepdims=True)
     flat = np.where(norms > 0, flat / np.maximum(norms, 1e-20), 0.0)

@@ -11,7 +11,10 @@ without network access:
   python tools/compute_shot.py data/shape_descriptors/cat_shot.npy \\
       data/cat_rescaled_rotated/12221_Cat_v1_l3.obj [--radius R]
 
-radius defaults to 5% of the bounding-box diagonal.
+radius defaults to 5% of the bounding-box diagonal. Runtime is dominated by
+O(pairs) vectorized host passes: ~2s at 10k vertices, ~60s at the cat scale
+(41k vertices / 12.6M neighbor pairs) — a once-per-mesh offline cost in the
+same preprocessing tier as the ARPACK eigensolve (~15 min at that scale).
 """
 from __future__ import annotations
 
