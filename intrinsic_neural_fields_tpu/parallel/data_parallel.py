@@ -52,7 +52,7 @@ def make_device_mesh(n_devices=None, axis_name="data"):
 
 
 def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
-                      shuffle="full", fused=False):
+                      shuffle="full", fused=False, fused_interleave=1):
     """(train_epoch, val_epoch) with the same signatures as train.steps'
     single-device versions, but sharded over `mesh`. shuffle="blocks" streams
     contiguous per-device slices of each global block (see train/steps.py).
@@ -209,6 +209,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                         spec, local_b, stream=fused_stream, x_bytes=x_bytes
                     ),
                     stream=fused_stream,
+                    interleave=fused_interleave,
                 )
 
                 def _pad_opt(opt_state, params):
@@ -375,6 +376,7 @@ def parallelize_trainer(trainer, n_devices):
         trainer.model, trainer.optimizer, trainer.loss_type, mesh,
         shuffle=getattr(trainer, "shuffle", "full"),
         fused=getattr(trainer, "fused_mlp", False),
+        fused_interleave=trainer.config["training"].get("fused_interleave", 1),
     )
     print(f"Data-parallel training over {n_devices} devices: {mesh}")
     return trainer
