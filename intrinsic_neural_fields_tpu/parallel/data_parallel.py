@@ -59,7 +59,11 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
     fused=True runs the per-device step as one Pallas kernel (see
     train/steps.py make_epoch_fns): each device computes local-mean grads,
     which pmean to the global batch mean; requires blocks mode (full
-    batches) and a fused-eligible model."""
+    batches) and a fused-eligible model. The single-device path's IN-KERNEL
+    Adam is deliberately absent here: DP must pmean gradients ACROSS devices
+    between the backward pass and the optimizer update, and the in-kernel
+    update never materializes gradients outside the kernel — so the DP step
+    is fused grads + optax Adam. fused_interleave: see make_epoch_fns."""
     assert shuffle in ("full", "blocks")
     if fused and shuffle != "blocks":
         # The fused kernel only pays in the streaming blocks mode (measured
