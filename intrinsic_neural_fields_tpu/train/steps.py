@@ -150,7 +150,7 @@ def _adam_opt_view(opt_state):
 
 
 def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
-                   fused_adam=True, fused_interleave=1):
+                   fused_adam=True, fused_interleave=1, sorted_gather=False):
     """Build (train_epoch, val_epoch), both jitted.
 
     train_epoch(state, key, data, num_batches, batch_size)
@@ -188,6 +188,13 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       (ops/fused_mlp._train_grads_body): >1 splits each tile into
       independent matmul chains so the MXU can overlap fill/drain across
       them. Gradient sums reassociate in f32 (parity-tested).
+    sorted_gather:
+      full-shuffle mode only — gather each batch's rows in ascending index
+      order (the batch mean is within-batch order-invariant, so semantics
+      are unchanged up to f32 reduction order). The full-shuffle step is
+      gather-bound (RESULTS.md: 548.7 us/step ≈ 27x the HBM bound of the
+      [4096, 1023] row gather); a monotone gather gives HBM locality the
+      random pattern can't.
     """
     assert shuffle in ("full", "blocks")
     if fused:
@@ -411,6 +418,18 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                 pos = i * batch_size + jnp.arange(batch_size)
                 w = (pos < n).astype(jnp.float32)
                 idx = jnp.take(perm, jnp.minimum(pos, n - 1))
+                if sorted_gather:
+                    # Per-batch ascending gather: the batch mean (loss,
+                    # grads, metrics, batch-norm stats) is invariant to
+                    # within-batch order, and a sorted row gather reads the
+                    # feature table with monotone locality instead of a
+                    # random access pattern. The weight mask rides the same
+                    # reordering so ragged-tail duplicates stay masked.
+                    # Numerics differ from the unsorted gather only by f32
+                    # reduction order (tested).
+                    order = jnp.argsort(idx)
+                    idx = idx[order]
+                    w = w[order]
                 batch = gather_batch(data, idx)
             if use_fused:
                 return fused_step(carry, batch), None

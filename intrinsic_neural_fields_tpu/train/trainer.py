@@ -46,6 +46,7 @@ class Trainer:
             # training.fused_adam: false is the escape hatch
             fused_adam=config["training"].get("fused_adam", True),
             fused_interleave=config["training"].get("fused_interleave", 1),
+            sorted_gather=config["training"].get("sorted_gather", False),
         )
 
         self.use_lr_scheduler = config["training"].get("use_lr_scheduler", False)

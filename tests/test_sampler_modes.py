@@ -186,3 +186,59 @@ def test_dp_blocks_mode_runs():
         state, m = tr(state, jax.random.PRNGKey(e), data, 16, 512)
         losses.append(float(jax.device_get(m["loss"])))
     assert losses[-1] < 0.7 * losses[0]
+
+
+def test_sorted_gather_full_shuffle_equivalence(rng):
+    """sorted_gather=True reorders each full-shuffle batch ascending — the
+    weighted batch mean is order-invariant, so losses/params must match the
+    unsorted path to f32-reassociation tolerance, incl. a ragged tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from intrinsic_neural_fields_tpu.data.sampler import RayData
+    from intrinsic_neural_fields_tpu.models.factory import init_model, make_model
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        make_epoch_fns,
+    )
+
+    k = 48
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 64, "skip_layer_idx": 1}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    N, V, batch = 700, 90, 256  # 700 % 256 != 0 -> ragged tail
+    data = RayData(
+        features=jnp.asarray(rng.normal(size=(V, k)).astype(np.float32)),
+        feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(
+            rng.integers(0, V, size=(N, 3)).astype(np.int32)
+        ),
+        barycentric_coords=jnp.asarray(
+            rng.dirichlet(np.ones(3), size=N).astype(np.float32)
+        ),
+        expected_rgbs=jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32)),
+        unit_ray_dirs=None,
+        face_idxs=None,
+    )
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    num_batches = -(-N // batch)
+
+    out = {}
+    for sg in (False, True):
+        train_epoch, val_epoch = make_epoch_fns(
+            model, optimizer, "L1", shuffle="full", sorted_gather=sg
+        )
+        st = create_train_state(jax.tree_util.tree_map(jnp.array, variables),
+                                optimizer)
+        losses = []
+        for e in range(2):
+            st, m = train_epoch(st, jax.random.PRNGKey(e), data, num_batches, batch)
+            losses.append(float(m["loss"]))
+        out[sg] = (losses, st)
+
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out[False][1].params),
+                    jax.tree_util.tree_leaves(out[True][1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
