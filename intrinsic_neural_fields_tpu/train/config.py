@@ -7,6 +7,18 @@ Deliberate fixes over the reference, documented per SURVEY section 2.4:
     present (reference config.py:85 used hasattr on a dict, always False);
   - embed_strategy / eigenvalues_path are passed as keywords (the reference
     swapped them positionally, config.py:64-66).
+
+TPU-specific training.* extensions beyond the reference schema (all
+default to reference behavior when absent):
+  shuffle: "full" (reference per-sample permutation) | "blocks" (streaming)
+  fused_mlp: bool — one-Pallas-kernel train step (train/steps.py)
+  fused_adam: bool — fold Adam into the kernel (default true on the fused
+    streaming path; see steps._adam_opt_view for eligibility)
+  fused_interleave: int — independent sub-tile chains per kernel tile
+  sorted_gather: bool — ascending per-batch gathers in full-shuffle mode
+  precompute_dtype (data.*): "bfloat16" halves the hit-feature table
+  profile_dir: capture a jax.profiler trace of one epoch
+  num_devices via the train.py flag — shard_map data parallelism
 """
 from __future__ import annotations
 
