@@ -30,14 +30,26 @@ def _tangent_basis(neighbors):
     return vt[0], vt[1]
 
 
-def local_triangulation(points, n_neighbors=16):
+def local_triangulation(points, n_neighbors=16, native=True):
     """Per-point tangent-plane Delaunay triangulation, union over all points.
 
     Returns faces i32 [F,3] indexing into `points`. Orientation is made
     locally consistent with the PCA normal but is globally arbitrary (the
     ray tracer treats triangles as two-sided).
+
+    native=True (default) runs the C++ core (native/localtri.cpp: kd-tree
+    kNN + Jacobi PCA + Bowyer-Watson Delaunay, ~40x this Python loop at
+    100k points — the reference's counterpart, potpourri3d, is likewise
+    C++), falling back to this Python implementation when no compiler is
+    available, when n >= 2^21 (the core's dedup-key packing limit), or on
+    disagreement-free request (native=False). Both produce valid per-patch
+    Delaunay triangulations; cocircular ties may resolve differently.
     """
     points = np.asarray(points, dtype=np.float64)
+    if native:
+        faces = _local_triangulation_native(points, n_neighbors)
+        if faces is not None:
+            return faces
     n = points.shape[0]
     k = min(n_neighbors, n)
     tree = cKDTree(points)
@@ -67,6 +79,35 @@ def local_triangulation(points, n_neighbors=16):
     if not faces:
         return np.zeros((0, 3), dtype=np.int32)
     return np.asarray(faces, dtype=np.int32)
+
+
+def _local_triangulation_native(points, n_neighbors):
+    """C++-core triangulation, or None when the core can't run here."""
+    import ctypes
+
+    from ..native import load_localtri
+
+    lib = load_localtri()
+    if lib is None:
+        return None
+    n = points.shape[0]
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    max_faces = 8 * max(n, 4)
+    for _ in range(3):
+        out = np.empty((max_faces, 3), dtype=np.int32)
+        got = lib.local_triangulation(
+            n,
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            int(n_neighbors),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_faces,
+        )
+        if got == -2:
+            return None  # n beyond the 21-bit dedup packing: Python path
+        if got >= 0:
+            return np.ascontiguousarray(out[:got])
+        max_faces *= 4  # -1: buffer too small
+    raise RuntimeError("local_triangulation: native face buffer kept overflowing")
 
 
 def point_cloud_laplacian(points, n_neighbors=16):

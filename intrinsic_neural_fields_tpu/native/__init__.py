@@ -28,6 +28,29 @@ def _build(src_name, lib_name):
 
 
 _idt_lib = None
+_localtri_lib = None
+
+
+def load_localtri():
+    """ctypes handle to the local-triangulation core, or None if the native
+    build is unavailable."""
+    global _localtri_lib
+    if _localtri_lib is not None:
+        return _localtri_lib
+    try:
+        lib = ctypes.CDLL(_build("localtri.cpp", "liblocaltri.so"))
+    except (RuntimeError, OSError):
+        return None
+    lib.local_triangulation.restype = ctypes.c_int64
+    lib.local_triangulation.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    _localtri_lib = lib
+    return lib
 
 
 def load_idt():
