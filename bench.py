@@ -161,7 +161,43 @@ def bench_torch_cpu(feats, vids, bary, rgbs, steps=30):
     return steps * BATCH / dt
 
 
+def _device_watchdog(timeout_s=900):
+    """Fail loudly instead of hanging forever if the TPU tunnel is down.
+
+    Backend init blocks indefinitely while the axon relay is unreachable
+    (observed during the 2026-08-18 outage); a bench that never prints its
+    JSON line looks like a framework failure rather than an infra one. Probe
+    device init in a daemon thread and emit a diagnostic JSON + exit if it
+    doesn't come up in time."""
+    import threading
+
+    ready = threading.Event()
+
+    def _probe():
+        import jax
+
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": f"JAX device init did not complete in {timeout_s}s "
+                             "(TPU tunnel unreachable?)",
+                }
+            )
+        )
+        raise SystemExit(2)
+
+
 def main():
+    _device_watchdog()
     feats, vids, bary, rgbs = make_arrays()
     baseline = bench_torch_cpu(feats, vids, bary, rgbs)
     ours_best, ours_median = bench_ours(feats, vids, bary, rgbs)
