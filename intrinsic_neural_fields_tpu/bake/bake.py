@@ -157,7 +157,9 @@ def _field_rgbs(mesh, config, vids, bary, chunk=1 << 13):
 
     model = make_model(config["model"], mesh=mesh)
     template = init_model(model, config["model"], mesh=mesh)
-    weights_path = os.path.join(config["training"]["out_dir"], "model.ckpt")
+    from ..utils.checkpoint import resolve_weights_path
+
+    weights_path = resolve_weights_path(config["training"]["out_dir"])
     variables = load_checkpoint(weights_path, jax.device_get(template))
 
     n = vids.shape[0]

@@ -77,7 +77,9 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_device
 
     model = make_model(config["model"], mesh=mesh)
     template = init_model(model, config["model"], mesh=mesh)
-    weights_path = os.path.join(config["training"]["out_dir"], weights_name)
+    from ..utils.checkpoint import resolve_weights_path
+
+    weights_path = resolve_weights_path(config["training"]["out_dir"], weights_name)
     variables = load_checkpoint(weights_path, jax.device_get(template))
 
     mesh_devices = None

@@ -27,10 +27,37 @@ def save_checkpoint(path, pytree):
 
 def load_checkpoint(path, template):
     """Restore a pytree saved by save_checkpoint. `template` must have the
-    same structure (e.g. a freshly initialized state)."""
+    same structure (e.g. a freshly initialized state).
+
+    Reference-trained torch checkpoints (``model.pt``) are detected by file
+    magic and converted transparently (utils/torch_convert.py), so render/
+    eval can consume an out_dir produced by the reference implementation."""
     with open(path, "rb") as f:
         data = f.read()
+    if _is_torch_checkpoint(data):
+        from .torch_convert import convert_reference_checkpoint_bytes
+
+        return convert_reference_checkpoint_bytes(data, template)
     return serialization.from_bytes(template, data)
+
+
+def resolve_weights_path(out_dir, weights_name="model.ckpt"):
+    """Path of the trained weights in an out_dir: ours (`weights_name`), or a
+    reference-trained ``model.pt`` when that's what the directory contains
+    (reference trainer.py:270-274; converted on load by load_checkpoint)."""
+    path = os.path.join(out_dir, weights_name)
+    if not os.path.exists(path):
+        ref_path = os.path.join(out_dir, "model.pt")
+        if os.path.exists(ref_path):
+            return ref_path
+    return path
+
+
+def _is_torch_checkpoint(data):
+    # torch zip archives start with "PK"; legacy torch files are pickles
+    # (0x80 + protocol). flax msgpack maps start at 0x81+ (fixmap with >=1
+    # entry), so neither prefix collides with save_checkpoint's output.
+    return data[:2] == b"PK" or (len(data) > 1 and data[0] == 0x80 and data[1] in (2, 3, 4, 5))
 
 
 def save_npz_pytree(path, tree):

@@ -1,0 +1,170 @@
+"""Convert reference-trained torch checkpoints into this framework's variables.
+
+The reference trains TextureField / TextureFieldWithViewDependency with
+torch and saves either a raw ``state_dict`` (``model.pt``,
+reference trainer.py:270-274,337) or a checkpoint dict with a
+``model_state_dict`` entry (reference trainer.py:302-313); utils.py:22-29
+accepts both. This module maps those tensors onto the flax module trees in
+``models/texture_field.py`` so a reference user can point our render/eval
+CLIs at an out_dir they trained with the reference code and keep their
+weights. NeuTex has its own converter (``models/neutex.py``).
+
+Name mapping (torch -> flax), structure INFERRED from the state_dict alone:
+  layers.{i}.0.{weight,bias}            -> params/Dense_{c}/{kernel,bias}
+  layers.{skip}.Lx / .Ly                -> params/Dense_{c}, Dense_{c+1}
+  layers.{i}.2.* / layers.{skip}.batchnorm.*
+                                        -> params/BatchNorm_{i}/{scale,bias},
+                                           batch_stats/BatchNorm_{i}/{mean,var}
+  embedding.B (RandomFourierFeatEnc)    -> buffers/RandomFourierFeatEnc_0/B
+  spatial_mlp.* + directional_mlp.{0,2}.*
+                                        -> params/spatial_mlp/... + Dense_0/1
+Linear weights transpose ([out,in] -> [in,out]); a DataParallel ``module.``
+prefix is stripped; ``num_batches_tracked`` is dropped (flax BatchNorm keeps
+no step counter).
+"""
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+__all__ = [
+    "load_reference_state_dict",
+    "convert_reference_state_dict",
+    "convert_reference_checkpoint_bytes",
+]
+
+
+def load_reference_state_dict(path_or_bytes):
+    """state_dict (name -> numpy array) from a reference .pt file/bytes.
+
+    Accepts both on-disk formats the reference produces (raw state_dict and
+    ``{"model_state_dict": ...}`` checkpoint dicts, reference utils.py:22-29)
+    and strips torch.nn.DataParallel's ``module.`` prefix (train.py:46-48).
+    """
+    import torch
+
+    src = (
+        io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    obj = torch.load(src, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    out = {}
+    for name, tensor in obj.items():
+        if name.startswith("module."):
+            name = name[len("module."):]
+        out[name] = np.asarray(tensor.detach().numpy())
+    return out
+
+
+def _convert_texture_field(sd, prefix=""):
+    """Flax variable collections for one TextureField from torch keys
+    ``{prefix}layers.*`` (+ optional ``{prefix}embedding.B``)."""
+    params, batch_stats, buffers = {}, {}, {}
+
+    layer_idxs = set()
+    for name in sd:
+        if name.startswith(prefix + "layers."):
+            layer_idxs.add(int(name[len(prefix + "layers."):].split(".")[0]))
+    if not layer_idxs:
+        raise ValueError(
+            f"no '{prefix}layers.*' entries — not a reference TextureField "
+            f"state_dict (keys: {sorted(sd)[:8]}...)"
+        )
+    num_layers = max(layer_idxs) + 1
+
+    def dense(torch_prefix):
+        w = sd[torch_prefix + ".weight"]
+        b = sd[torch_prefix + ".bias"]
+        return {"kernel": np.ascontiguousarray(w.T), "bias": b}
+
+    def bnorm(torch_prefix, flax_name):
+        params[flax_name] = {
+            "scale": sd[torch_prefix + ".weight"],
+            "bias": sd[torch_prefix + ".bias"],
+        }
+        batch_stats[flax_name] = {
+            "mean": sd[torch_prefix + ".running_mean"],
+            "var": sd[torch_prefix + ".running_var"],
+        }
+
+    c = 0
+    for i in range(num_layers):
+        base = f"{prefix}layers.{i}"
+        if f"{base}.Lx.weight" in sd:  # the input-skip layer
+            params[f"Dense_{c}"] = dense(f"{base}.Lx")
+            params[f"Dense_{c + 1}"] = dense(f"{base}.Ly")
+            c += 2
+            if f"{base}.batchnorm.weight" in sd:
+                bnorm(f"{base}.batchnorm", f"BatchNorm_{i}")
+        else:
+            params[f"Dense_{c}"] = dense(f"{base}.0")
+            c += 1
+            if f"{base}.2.weight" in sd:
+                bnorm(f"{base}.2", f"BatchNorm_{i}")
+
+    if prefix + "embedding.B" in sd:
+        buffers["RandomFourierFeatEnc_0"] = {"B": sd[prefix + "embedding.B"]}
+    return params, batch_stats, buffers
+
+
+def convert_reference_state_dict(sd):
+    """Flax ``variables`` dict for a reference TextureField[WithViewDependency]
+    state_dict. The variant is inferred: a ``spatial_mlp.`` prefix means the
+    view-dependent model (reference model.py:123-191)."""
+    if any(k.startswith("spatial_mlp.") for k in sd):
+        params, batch_stats, buffers = _convert_texture_field(sd, "spatial_mlp.")
+        params = {"spatial_mlp": params}
+        if batch_stats:
+            batch_stats = {"spatial_mlp": batch_stats}
+        if buffers:
+            buffers = {"spatial_mlp": buffers}
+        # directional_mlp = Sequential(Linear, act, Linear, Sigmoid)
+        for c, t in enumerate(("directional_mlp.0", "directional_mlp.2")):
+            params[f"Dense_{c}"] = {
+                "kernel": np.ascontiguousarray(sd[t + ".weight"].T),
+                "bias": sd[t + ".bias"],
+            }
+    else:
+        params, batch_stats, buffers = _convert_texture_field(sd)
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    if buffers:
+        variables["buffers"] = buffers
+    return variables
+
+
+def _check_against_template(tree, template, path=""):
+    if isinstance(template, dict):
+        t_keys, keys = set(template), set(tree) if isinstance(tree, dict) else set()
+        if t_keys != keys:
+            raise ValueError(
+                f"converted checkpoint mismatch at '{path or '/'}': "
+                f"model wants {sorted(t_keys)}, checkpoint has {sorted(keys)}"
+            )
+        return {
+            k: _check_against_template(tree[k], template[k], f"{path}/{k}")
+            for k in template
+        }
+    arr = np.asarray(tree)
+    want = np.shape(template)
+    if arr.shape != tuple(want):
+        raise ValueError(
+            f"converted checkpoint mismatch at '{path}': shape {arr.shape} "
+            f"vs model {tuple(want)}"
+        )
+    return arr.astype(np.asarray(template).dtype)
+
+
+def convert_reference_checkpoint_bytes(data, template=None):
+    """Variables tree from raw reference-.pt bytes; validated (keys + shapes)
+    and dtype-cast against ``template`` when given."""
+    variables = convert_reference_state_dict(load_reference_state_dict(data))
+    if template is not None:
+        variables = _check_against_template(variables, template)
+    return variables
