@@ -27,6 +27,42 @@ from .plateau import ReduceLROnPlateau
 from .steps import TrainState, create_train_state, make_epoch_fns, make_variables
 
 
+def reference_adam_opt_state(optimizer, params, adam):
+    """Optax state for `optimizer` (inject_hyperparams(optax.adam)(lr), see
+    config.get_model_and_optim) carrying a reference-trained torch Adam state
+    (utils/torch_convert.load_reference_train_checkpoint's ``adam`` dict):
+    step count, first/second moments, and the group lr/betas/eps. Torch's
+    update  p -= lr * m_hat / (sqrt(v_hat) + eps)  is optax.adam's with
+    eps_root=0, so the moments carry over verbatim."""
+    import jax.numpy as jnp
+
+    opt_state = optimizer.init(params)
+    # separate buffers for the outer/inner counts: the epoch jit donates the
+    # whole opt_state, and one buffer appearing twice breaks donation
+    count = lambda: jnp.array(adam["count"], jnp.int32)  # noqa: E731
+    cast = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda m, p: jnp.asarray(m, jnp.asarray(p).dtype), tree, params
+    )
+    try:
+        inner_adam, *rest = opt_state.inner_state
+        inner_adam = inner_adam._replace(
+            count=count(), mu=cast(adam["mu"]), nu=cast(adam["nu"])
+        )
+        hyper = dict(opt_state.hyperparams)
+        for ours, theirs in (("learning_rate", "lr"), ("b1", "b1"),
+                             ("b2", "b2"), ("eps", "eps")):
+            hyper[ours] = jnp.asarray(adam[theirs], jnp.float32)
+        return opt_state._replace(
+            count=count(), hyperparams=hyper,
+            inner_state=(inner_adam, *rest),
+        )
+    except (AttributeError, TypeError, ValueError) as e:
+        raise ValueError(
+            "optimizer state does not look like inject_hyperparams(optax.adam) "
+            f"— cannot carry a reference Adam state into it: {e}"
+        )
+
+
 class Trainer:
     def __init__(self, model, variables, optimizer, loss_type, renderer, data, mesh, config):
         self.model = model
@@ -107,7 +143,12 @@ class Trainer:
     def _init_or_load_checkpoint(self):
         """Resume from out_dir/checkpoint.ckpt when present (reference
         trainer.py:214-230). Returns the epoch to start from."""
-        if self.checkpoint_every is None or not os.path.exists(self.checkpoint_path):
+        if self.checkpoint_every is None:
+            return 0
+        if not os.path.exists(self.checkpoint_path):
+            ref_path = os.path.join(self.out_dir, "checkpoint.pt")
+            if os.path.exists(ref_path):
+                return self._load_reference_checkpoint(ref_path)
             return 0
         print("Restoring from checkpoint...")
         template = jax.device_get(self._checkpoint_payload(0))
@@ -121,6 +162,31 @@ class Trainer:
         self.base_key = jax.numpy.asarray(ckpt["rng_key"])
         print("Done.")
         return int(ckpt["epoch"]) + 1
+
+    def _load_reference_checkpoint(self, ref_path):
+        """Resume from a reference-trained torch ``checkpoint.pt`` (reference
+        trainer.py:302-313): weights and the full Adam trajectory (moments,
+        step count, lr) carry over; the torch RNG states cannot seed a JAX
+        PRNG, so batch order restarts from this config's seed."""
+        print(f"Restoring from reference torch checkpoint {ref_path}...")
+        from ..utils.torch_convert import (
+            _check_against_template,
+            load_reference_train_checkpoint,
+        )
+
+        info = load_reference_train_checkpoint(ref_path)
+        template = jax.device_get(make_variables(self.state))
+        variables = _check_against_template(info["variables"], template)
+        params = variables["params"]
+        self.state = TrainState(
+            params=params,
+            buffers=variables.get("buffers", {}),
+            opt_state=reference_adam_opt_state(self.optimizer, params, info["adam"]),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        print("Done (note: batch shuffling reseeds — torch RNG state does not "
+              "transfer to a JAX PRNG; the optimizer state carries over exactly).")
+        return info["epoch"] + 1
 
     def _current_lr(self):
         try:

@@ -32,6 +32,7 @@ __all__ = [
     "load_reference_state_dict",
     "convert_reference_state_dict",
     "convert_reference_checkpoint_bytes",
+    "load_reference_train_checkpoint",
 ]
 
 
@@ -159,6 +160,109 @@ def _check_against_template(tree, template, path=""):
             f"vs model {tuple(want)}"
         )
     return arr.astype(np.asarray(template).dtype)
+
+
+def _strip_module_prefix(sd):
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def load_reference_train_checkpoint(path_or_bytes):
+    """Parse a reference training checkpoint (``checkpoint.pt``, reference
+    trainer.py:302-313) for resume: the converted model variables plus the
+    torch Adam state mapped onto the same flax parameter tree.
+
+    Returns ``{"epoch": int, "variables": {...}, "adam": {...}}`` where
+    ``adam`` holds ``count`` (steps taken), ``mu``/``nu`` (first/second
+    moments, shaped/transposed exactly like ``variables["params"]``) and the
+    group hyperparameters ``lr``/``b1``/``b2``/``eps``.
+
+    The torch/python/numpy RNG states in the file cannot seed a JAX PRNG;
+    callers reseed, so the resumed batch order differs from a torch
+    continuation (the optimizer trajectory itself carries over exactly).
+    """
+    import torch
+
+    src = (
+        io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    try:
+        obj = torch.load(src, map_location="cpu", weights_only=True)
+    except Exception:
+        # the RNG-state entries (numpy arrays, python tuples) predate the
+        # weights_only allowlist in some torch versions
+        if hasattr(src, "seek"):
+            src.seek(0)
+        obj = torch.load(src, map_location="cpu", weights_only=False)
+    if not (isinstance(obj, dict) and "optimizer_state_dict" in obj):
+        raise ValueError(
+            "not a reference training checkpoint (no 'optimizer_state_dict' "
+            "entry) — for weights-only .pt files use "
+            "convert_reference_checkpoint_bytes / load_checkpoint"
+        )
+
+    msd = _strip_module_prefix(obj["model_state_dict"])
+    msd_np = {k: np.asarray(v.detach().numpy()) for k, v in msd.items()}
+    variables = convert_reference_state_dict(msd_np)
+
+    # torch param order = module registration order = the state_dict order
+    # restricted to parameters. For TextureField[WithViewDependency] every
+    # parameter tensor ends in .weight/.bias (Linear + BatchNorm); buffers are
+    # embedding.B and the BatchNorm running stats/num_batches_tracked.
+    param_names = [
+        k for k in msd if k.endswith(".weight") or k.endswith(".bias")
+    ]
+    osd = obj["optimizer_state_dict"]
+    groups = osd["param_groups"]
+    if len(groups) != 1:
+        raise ValueError(
+            f"expected one Adam param group (reference config.py:102-110), "
+            f"got {len(groups)}"
+        )
+    group = groups[0]
+    if len(group["params"]) != len(param_names):
+        raise ValueError(
+            f"optimizer covers {len(group['params'])} params but the model "
+            f"has {len(param_names)} — not a matching checkpoint"
+        )
+
+    # Convert exp_avg / exp_avg_sq through the SAME name mapping as the
+    # weights: substitute each parameter tensor with its moment and re-run the
+    # structural converter, so transposes/nesting can never diverge.
+    sd_mu, sd_nu = dict(msd_np), dict(msd_np)
+    steps = set()
+    state = osd["state"]
+    for i, name in zip(group["params"], param_names):
+        st = state.get(i, state.get(str(i)))
+        if st is None:  # Adam state is lazily created; 0 steps taken
+            sd_mu[name] = np.zeros_like(msd_np[name])
+            sd_nu[name] = np.zeros_like(msd_np[name])
+            steps.add(0)
+            continue
+        sd_mu[name] = np.asarray(st["exp_avg"].detach().numpy())
+        sd_nu[name] = np.asarray(st["exp_avg_sq"].detach().numpy())
+        steps.add(int(st["step"]))
+    if len(steps) != 1:
+        raise ValueError(f"per-param Adam step counts disagree: {sorted(steps)}")
+
+    b1, b2 = group["betas"]
+    return {
+        "epoch": int(obj["epoch"]),
+        "variables": variables,
+        "adam": {
+            "count": steps.pop(),
+            "mu": convert_reference_state_dict(sd_mu)["params"],
+            "nu": convert_reference_state_dict(sd_nu)["params"],
+            "lr": float(group["lr"]),
+            "b1": float(b1),
+            "b2": float(b2),
+            "eps": float(group["eps"]),
+        },
+    }
 
 
 def convert_reference_checkpoint_bytes(data, template=None):
