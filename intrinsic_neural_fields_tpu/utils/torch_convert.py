@@ -33,6 +33,7 @@ __all__ = [
     "convert_reference_state_dict",
     "convert_reference_checkpoint_bytes",
     "load_reference_train_checkpoint",
+    "export_reference_state_dict",
 ]
 
 
@@ -138,6 +139,81 @@ def convert_reference_state_dict(sd):
     if buffers:
         variables["buffers"] = buffers
     return variables
+
+
+def _export_texture_field(params, batch_stats, buffers, model_config, prefix=""):
+    """torch state_dict names for one TextureField — the exact inverse of
+    _convert_texture_field, driven by the config because torch names need the
+    per-layer indices (reference model.py:43-96: Linear at Sequential slot 0,
+    BatchNorm1d at slot 2 on every non-output layer, the skip layer is
+    LinearWithConcatAndActivation with Lx/Ly and an optional .batchnorm)."""
+    num_layers = model_config["num_layers"]
+    skip = model_config["skip_layer_idx"]
+    batchnorm = model_config.get("batchnorm", False)
+    sd = {}
+
+    def put_dense(torch_prefix, flax_name):
+        sd[torch_prefix + ".weight"] = np.ascontiguousarray(
+            np.asarray(params[flax_name]["kernel"]).T
+        )
+        sd[torch_prefix + ".bias"] = np.asarray(params[flax_name]["bias"])
+
+    def put_bnorm(torch_prefix, flax_name):
+        sd[torch_prefix + ".weight"] = np.asarray(params[flax_name]["scale"])
+        sd[torch_prefix + ".bias"] = np.asarray(params[flax_name]["bias"])
+        sd[torch_prefix + ".running_mean"] = np.asarray(batch_stats[flax_name]["mean"])
+        sd[torch_prefix + ".running_var"] = np.asarray(batch_stats[flax_name]["var"])
+        # flax BatchNorm keeps no step counter; 0 is only consumed by torch's
+        # momentum=None cumulative mode, which the reference never uses
+        sd[torch_prefix + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+    c = 0
+    for i in range(num_layers):
+        base = f"{prefix}layers.{i}"
+        if i == skip:
+            put_dense(f"{base}.Lx", f"Dense_{c}")
+            put_dense(f"{base}.Ly", f"Dense_{c + 1}")
+            c += 2
+            if batchnorm:
+                put_bnorm(f"{base}.batchnorm", f"BatchNorm_{i}")
+        else:
+            put_dense(f"{base}.0", f"Dense_{c}")
+            c += 1
+            if batchnorm and i < num_layers - 1:
+                put_bnorm(f"{base}.2", f"BatchNorm_{i}")
+
+    if buffers and "RandomFourierFeatEnc_0" in buffers:
+        sd[prefix + "embedding.B"] = np.asarray(buffers["RandomFourierFeatEnc_0"]["B"])
+    return sd
+
+
+def export_reference_state_dict(variables, model_config):
+    """Reference-format torch state_dict (name -> numpy array) from this
+    framework's flax ``variables`` — the inverse of
+    convert_reference_state_dict, so a field trained here runs under the
+    reference implementation (its utils.py:22-29 loader accepts a raw
+    state_dict). ``model_config`` is the experiment YAML's ``model`` section
+    (reference schema; needed because torch names carry layer indices)."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    buffers = variables.get("buffers", {})
+
+    if model_config.get("view_dependence") is not None:
+        sd = _export_texture_field(
+            params["spatial_mlp"],
+            batch_stats.get("spatial_mlp", {}),
+            buffers.get("spatial_mlp", {}),
+            model_config,
+            prefix="spatial_mlp.",
+        )
+        # directional_mlp = Sequential(Linear, act, Linear, Sigmoid)
+        for c, t in enumerate(("directional_mlp.0", "directional_mlp.2")):
+            sd[t + ".weight"] = np.ascontiguousarray(
+                np.asarray(params[f"Dense_{c}"]["kernel"]).T
+            )
+            sd[t + ".bias"] = np.asarray(params[f"Dense_{c}"]["bias"])
+        return sd
+    return _export_texture_field(params, batch_stats, buffers, model_config)
 
 
 def _check_against_template(tree, template, path=""):

@@ -174,3 +174,114 @@ def test_converted_mismatch_raises(ref_model_module, tmp_path):
     )
     with pytest.raises(ValueError, match="mismatch"):
         load_checkpoint(pt, tmpl)
+
+
+# ---------------------------------------------------------------- export path
+
+
+def _export_roundtrip(tm, om, variables, model_config, batch_np, torch_batch):
+    """OUR variables -> reference state_dict -> strict torch load -> same
+    outputs; and converting the export back reproduces the variables."""
+    from intrinsic_neural_fields_tpu.utils.torch_convert import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+
+    variables = jax.device_get(variables)
+    sd = export_reference_state_dict(variables, model_config)
+    missing, unexpected = tm.load_state_dict(
+        {k: (torch.from_numpy(v.copy()) if v.ndim else torch.tensor(v))
+         for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+
+    ours = np.asarray(om.apply(variables, batch_np))
+    with torch.no_grad():
+        tm.eval()
+        theirs = tm(torch_batch).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+    back = convert_reference_state_dict(sd)
+    flat_back = dict(jax.tree_util.tree_leaves_with_path(back["params"]))
+    for key, val in jax.tree_util.tree_leaves_with_path(variables["params"]):
+        np.testing.assert_array_equal(val, flat_back[key], err_msg=str(key))
+
+
+def test_export_plain(ref_model_module):
+    k = 20
+    cfg = {"k": k, "num_layers": 6, "mlp_hidden_dim": 32, "skip_layer_idx": 3}
+    tm = ref_model_module.TextureField(6, k, 32, 3)
+    om = TextureField(num_layers=6, hidden_dim=32, skip_layer_idx=3)
+    feats = np.random.default_rng(10).normal(size=(16, k)).astype(np.float32)
+    batch = {"eigenfunctions": feats}
+    variables = om.init(jax.random.PRNGKey(3), batch)
+    _export_roundtrip(tm, om, variables, cfg, batch,
+                      {"eigenfunctions": torch.from_numpy(feats)})
+
+
+def test_export_rff(ref_model_module):
+    cfg = {"k": 24, "num_layers": 6, "mlp_hidden_dim": 32, "skip_layer_idx": 3,
+           "feature_strategy": "rff", "embed_std": 4.0}
+    tm = ref_model_module.TextureField(
+        6, None, 32, 3, input_feature_embed="rff", embed_dim=24, embed_std=4.0
+    )
+    om = TextureField(
+        num_layers=6, hidden_dim=32, skip_layer_idx=3,
+        input_feature_embed="rff", embed_dim=24, embed_std=4.0,
+    )
+    xyz = np.random.default_rng(11).normal(size=(16, 3)).astype(np.float32)
+    batch = {"xyz": xyz}
+    variables = om.init(
+        {"params": jax.random.PRNGKey(0), "buffers": jax.random.PRNGKey(1)}, batch
+    )
+    _export_roundtrip(tm, om, variables, cfg, batch, {"xyz": torch.from_numpy(xyz)})
+
+
+def test_export_batchnorm(ref_model_module):
+    k = 12
+    cfg = {"k": k, "num_layers": 5, "mlp_hidden_dim": 16, "skip_layer_idx": 2,
+           "batchnorm": True}
+    tm = ref_model_module.TextureField(5, k, 16, 2, batchnorm=True)
+    om = TextureField(num_layers=5, hidden_dim=16, skip_layer_idx=2, batchnorm=True)
+    feats = np.random.default_rng(12).normal(size=(32, k)).astype(np.float32)
+    batch = {"eigenfunctions": feats}
+    variables = om.init(jax.random.PRNGKey(4), batch)
+    _export_roundtrip(tm, om, variables, cfg, batch,
+                      {"eigenfunctions": torch.from_numpy(feats)})
+
+
+def test_export_view_dependent(ref_model_module):
+    k, F = 10, 40
+    rng = np.random.default_rng(13)
+    normals = rng.normal(size=(F, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    cfg = {
+        "k": k, "num_layers": 5, "mlp_hidden_dim": 24, "skip_layer_idx": 2,
+        "view_dependence": {
+            "bottleneck_vec_dim": 8, "in_dim_view_dir": 3, "include_view_dir": True,
+            "embed_size": 4, "directional_hidden_dim": 16, "strategy": "extrinsic",
+        },
+    }
+    tm = ref_model_module.TextureFieldWithViewDependency(
+        num_layers=5, in_dim=k, hidden_dim=24, skip_layer_idx=2,
+        bottleneck_vec_dim=8, in_dim_view_dir=3, include_view_dir=True,
+        view_dir_embedding_size=4, directional_hidden_dim=16,
+        face_normals=torch.from_numpy(normals), view_dir_strategy="extrinsic",
+    )
+    om = TextureFieldWithViewDependency(
+        num_layers=5, hidden_dim=24, skip_layer_idx=2,
+        bottleneck_vec_dim=8, in_dim_view_dir=3, include_view_dir=True,
+        view_dir_embedding_size=4, directional_hidden_dim=16,
+        face_normals=normals, view_dir_strategy="extrinsic",
+    )
+    feats = rng.normal(size=(16, k)).astype(np.float32)
+    dirs = rng.normal(size=(16, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    hit_faces = rng.integers(0, F, size=16)
+    batch = {"eigenfunctions": feats, "unit_ray_dirs": dirs, "hit_face_idxs": hit_faces}
+    variables = om.init(jax.random.PRNGKey(5), batch)
+    tb = {"eigenfunctions": torch.from_numpy(feats),
+          "unit_ray_dirs": torch.from_numpy(dirs),
+          "hit_face_idxs": torch.from_numpy(hit_faces)}
+    _export_roundtrip(tm, om, variables, cfg, batch, tb)
