@@ -52,7 +52,8 @@ def make_device_mesh(n_devices=None, axis_name="data"):
 
 
 def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
-                      shuffle="full", fused=False, fused_interleave=1):
+                      shuffle="full", fused=False, fused_interleave=1,
+                      sorted_gather=False):
     """(train_epoch, val_epoch) with the same signatures as train.steps'
     single-device versions, but sharded over `mesh`. shuffle="blocks" streams
     contiguous per-device slices of each global block (see train/steps.py).
@@ -63,7 +64,10 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
     Adam is deliberately absent here: DP must pmean gradients ACROSS devices
     between the backward pass and the optimizer update, and the in-kernel
     update never materializes gradients outside the kernel — so the DP step
-    is fused grads + optax Adam. fused_interleave: see make_epoch_fns."""
+    is fused grads + optax Adam. fused_interleave / sorted_gather: see
+    make_epoch_fns (sorted_gather reorders each shard's gather ascending —
+    shard means and the psum'd weighted sums are within-batch
+    order-invariant, so semantics match to f32 reduction order)."""
     assert shuffle in ("full", "blocks")
     if fused and shuffle != "blocks":
         # The fused kernel only pays in the streaming blocks mode (measured
@@ -314,6 +318,13 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 idx = lax.dynamic_slice(perm_local, (i * local_b,), (local_b,))
                 global_pos = dev * per_dev + i * local_b + jnp.arange(local_b)
                 w = (global_pos < n).astype(jnp.float32)
+                if sorted_gather:
+                    # Ascending per-shard gather (monotone HBM locality); the
+                    # tail mask rides the same reordering. See
+                    # train/steps.py's sorted_gather comment.
+                    order = jnp.argsort(idx)
+                    idx = idx[order]
+                    w = w[order]
                 batch = gather_batch(data, idx)
                 return step_body(carry, batch, w, state), None
 
@@ -381,6 +392,7 @@ def parallelize_trainer(trainer, n_devices):
         shuffle=getattr(trainer, "shuffle", "full"),
         fused=getattr(trainer, "fused_mlp", False),
         fused_interleave=trainer.config["training"].get("fused_interleave", 1),
+        sorted_gather=trainer.config["training"].get("sorted_gather", False),
     )
     print(f"Data-parallel training over {n_devices} devices: {mesh}")
     return trainer

@@ -52,8 +52,9 @@ def postprocess_eigenfunctions(
         # poisons the whole MLP. Eigenfunction columns are never constant,
         # but descriptor matrices loaded through the same path are — SHOT
         # leaves structurally-empty histogram bins (e.g. 288/352 columns on
-        # a smooth blob) identically zero. Leave zero-range columns as-is.
-        eigenfunctions = np.where(rng > 0, eigenfunctions / np.where(rng > 0, rng, 1.0), eigenfunctions)
+        # a smooth blob) identically zero. Leave zero-range columns as-is
+        # (dividing by 1 is a bit-exact no-op).
+        eigenfunctions = eigenfunctions / np.where(rng > 0, rng, 1.0)
     elif rescale_strategy == "one-norm":
         eigenfunctions = eigenfunctions / np.linalg.norm(
             eigenfunctions, ord=2, axis=-1, keepdims=True

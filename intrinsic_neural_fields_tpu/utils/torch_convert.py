@@ -51,15 +51,21 @@ def load_reference_state_dict(path_or_bytes):
         if isinstance(path_or_bytes, (bytes, bytearray))
         else path_or_bytes
     )
-    obj = torch.load(src, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(src, map_location="cpu", weights_only=True)
+    except Exception:
+        # checkpoint dicts carry numpy/python RNG-state entries alongside
+        # model_state_dict (reference trainer.py:302-313) which the
+        # weights_only allowlist rejects; fall back for those files
+        if hasattr(src, "seek"):
+            src.seek(0)
+        obj = torch.load(src, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
-    out = {}
-    for name, tensor in obj.items():
-        if name.startswith("module."):
-            name = name[len("module."):]
-        out[name] = np.asarray(tensor.detach().numpy())
-    return out
+    return {
+        name: np.asarray(tensor.detach().numpy())
+        for name, tensor in _strip_module_prefix(obj).items()
+    }
 
 
 def _convert_texture_field(sd, prefix=""):
@@ -300,6 +306,21 @@ def load_reference_train_checkpoint(path_or_bytes):
             f"got {len(groups)}"
         )
     group = groups[0]
+    # The mapped optax chain is plain Adam; silently dropping these options
+    # would resume with a different optimizer than the checkpoint was
+    # trained with.
+    if float(group.get("weight_decay", 0.0) or 0.0) != 0.0:
+        raise ValueError(
+            "checkpoint's Adam group uses weight_decay="
+            f"{group['weight_decay']} — the resume path maps onto plain "
+            "optax.adam and cannot carry decoupled/L2 decay"
+        )
+    for flag in ("amsgrad", "maximize"):
+        if bool(group.get(flag, False)):
+            raise ValueError(
+                f"checkpoint's Adam group sets {flag}=True — unsupported by "
+                "the plain-Adam resume mapping"
+            )
     if len(group["params"]) != len(param_names):
         raise ValueError(
             f"optimizer covers {len(group['params'])} params but the model "

@@ -242,3 +242,61 @@ def test_sorted_gather_full_shuffle_equivalence(rng):
     for a, b in zip(jax.tree_util.tree_leaves(out[False][1].params),
                     jax.tree_util.tree_leaves(out[True][1].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sorted_gather_dp_equivalence(rng):
+    """training.sorted_gather must also take effect in the data-parallel
+    gather path (make_dp_epoch_fns): per-shard losses/params match the
+    unsorted DP epoch to f32-reassociation tolerance, incl. a ragged tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from intrinsic_neural_fields_tpu.data.sampler import RayData
+    from intrinsic_neural_fields_tpu.models.factory import init_model, make_model
+    from intrinsic_neural_fields_tpu.parallel import (
+        make_device_mesh,
+        make_dp_epoch_fns,
+    )
+    from intrinsic_neural_fields_tpu.train.steps import create_train_state
+
+    k = 32
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 32, "skip_layer_idx": 1}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    N, V, batch = 1100, 70, 256  # 1100 % 256 != 0 -> ragged tail
+    data = RayData(
+        features=jnp.asarray(rng.normal(size=(V, k)).astype(np.float32)),
+        feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(
+            rng.integers(0, V, size=(N, 3)).astype(np.int32)
+        ),
+        barycentric_coords=jnp.asarray(
+            rng.dirichlet(np.ones(3), size=N).astype(np.float32)
+        ),
+        expected_rgbs=jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32)),
+        unit_ray_dirs=None,
+        face_idxs=None,
+    )
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    num_batches = -(-N // batch)
+    mesh = make_device_mesh(8)
+
+    out = {}
+    for sg in (False, True):
+        train_epoch, _ = make_dp_epoch_fns(
+            model, optimizer, "L1", mesh, shuffle="full", sorted_gather=sg
+        )
+        st = create_train_state(jax.tree_util.tree_map(jnp.array, variables),
+                                optimizer)
+        losses = []
+        for e in range(2):
+            st, m = train_epoch(st, jax.random.PRNGKey(e), data, num_batches, batch)
+            losses.append(float(m["loss"]))
+        out[sg] = (losses, st)
+
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out[False][1].params),
+                    jax.tree_util.tree_leaves(out[True][1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -231,3 +231,47 @@ def test_trainer_resumes_from_reference_out_dir(ref_model_module, tmp_path):
     trainer.train()
     assert os.path.exists(os.path.join(out_dir, "model.ckpt"))
     assert os.path.exists(os.path.join(out_dir, "model_last_epoch.ckpt"))
+
+
+def test_state_dict_loader_accepts_full_checkpoint(ref_model_module, tmp_path):
+    """load_reference_state_dict must load a real checkpoint.pt whose dict
+    carries numpy/python RNG-state entries: torch>=2.6 weights_only=True
+    rejects those, so the loader needs the weights_only=False fallback
+    (previously only load_reference_train_checkpoint had it)."""
+    from intrinsic_neural_fields_tpu.utils.torch_convert import (
+        load_reference_state_dict,
+    )
+
+    k = 12
+    rng = np.random.default_rng(3)
+    tm = ref_model_module.TextureField(4, k, 16, 2)
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    feats = rng.normal(size=(1, 64, k)).astype(np.float32)
+    gts = rng.uniform(size=(1, 64, 3)).astype(np.float32)
+    _train_torch_steps(tm, opt, feats, gts, 1)
+    path = _reference_checkpoint(tmp_path, tm, opt)
+
+    sd = load_reference_state_dict(path)
+    np.testing.assert_array_equal(
+        sd["layers.0.0.weight"], tm.state_dict()["layers.0.0.weight"].numpy()
+    )
+
+
+def test_resume_rejects_unsupported_adam_options(ref_model_module, tmp_path):
+    """weight_decay / amsgrad checkpoints must raise instead of silently
+    resuming with a different optimizer than they were trained with."""
+    k = 12
+    rng = np.random.default_rng(4)
+    feats = rng.normal(size=(1, 64, k)).astype(np.float32)
+    gts = rng.uniform(size=(1, 64, 3)).astype(np.float32)
+
+    for kwargs, match in (
+        ({"weight_decay": 1e-4}, "weight_decay"),
+        ({"amsgrad": True}, "amsgrad"),
+    ):
+        tm = ref_model_module.TextureField(4, k, 16, 2)
+        opt = torch.optim.Adam(tm.parameters(), lr=1e-3, **kwargs)
+        _train_torch_steps(tm, opt, feats, gts, 1)
+        path = _reference_checkpoint(tmp_path, tm, opt)
+        with pytest.raises(ValueError, match=match):
+            load_reference_train_checkpoint(path)
