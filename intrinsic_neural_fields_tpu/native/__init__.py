@@ -13,13 +13,13 @@ import subprocess
 _DIR = os.path.dirname(__file__)
 
 
-def _build(src_name, lib_name):
+def _build(src_name, lib_name, extra_flags=()):
     src = os.path.join(_DIR, src_name)
     lib = os.path.join(_DIR, lib_name)
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           "-o", lib, src]
+           *extra_flags, "-o", lib, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except (subprocess.SubprocessError, FileNotFoundError) as e:
@@ -29,6 +29,37 @@ def _build(src_name, lib_name):
 
 _idt_lib = None
 _localtri_lib = None
+_bvh_lib = None
+
+
+def load_bvh():
+    """ctypes handle to the BVH host tracer, or None if the native build is
+    unavailable. Falls back to a non-OpenMP build when libgomp is absent."""
+    global _bvh_lib
+    if _bvh_lib is not None:
+        return _bvh_lib
+    c = ctypes
+    for flags in (("-fopenmp",), ()):
+        try:
+            lib = c.CDLL(_build("bvh.cpp", "libbvh.so", extra_flags=flags))
+            break
+        except (RuntimeError, OSError):
+            continue
+    else:
+        return None
+    lib.bvh_create.restype = c.c_void_p
+    lib.bvh_create.argtypes = [c.c_int64, c.POINTER(c.c_double)]
+    lib.bvh_destroy.restype = None
+    lib.bvh_destroy.argtypes = [c.c_void_p]
+    lib.bvh_trace.restype = None
+    lib.bvh_trace.argtypes = [
+        c.c_void_p, c.c_int64,
+        c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.c_double, c.c_double, c.c_double,
+        c.POINTER(c.c_double), c.POINTER(c.c_int32), c.POINTER(c.c_double),
+    ]
+    _bvh_lib = lib
+    return lib
 
 
 def load_localtri():

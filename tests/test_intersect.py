@@ -171,3 +171,70 @@ def test_shared_origin_and_mxu_variants_match_base():
             np.asarray(base.face_idx)[both] == np.asarray(alt.face_idx)[both]
         ).mean() > 0.999
         assert np.abs(np.asarray(base.t)[both] - np.asarray(alt.t)[both]).max() < 1e-4
+
+
+def test_native_bvh_matches_numpy_oracle(rng):
+    """The C++ BVH host tracer must reproduce the numpy oracle: identical
+    hit/miss and face selection (incl. lowest-face-index tie-breaks), t and
+    barycentrics to f64 reassociation tolerance (~1e-13)."""
+    from intrinsic_neural_fields_tpu.ops import HostBVH
+
+    m = icosphere(3)
+    R = 4000
+    origins = rng.normal(size=(R, 3))
+    origins = 3.0 * origins / np.linalg.norm(origins, axis=1, keepdims=True)
+    targets = rng.normal(size=(R, 3)) * 0.7  # mix of hits and misses
+    dirs = targets - origins
+
+    t0, f0, b0, v0 = intersect_rays_numpy(m.vertices, m.faces, origins, dirs)
+    bvh = HostBVH(m.vertices, m.faces)
+    t1, f1, b1, v1 = bvh.trace(origins, dirs)
+
+    np.testing.assert_array_equal(v0, v1)
+    assert v0.sum() > 0.3 * R
+    np.testing.assert_array_equal(f0[v0], f1[v0])
+    np.testing.assert_allclose(t1[v0], t0[v0], rtol=1e-12, atol=0)
+    np.testing.assert_allclose(b1[v0], b0[v0], atol=1e-11)
+    # misses keep the oracle's conventions
+    assert np.all(np.isinf(t1[~v0])) and np.all(f1[~v0] == -1)
+    assert np.all(b1[~v0] == 0.0)
+
+
+def test_native_bvh_degenerate_faces_and_reuse(rng):
+    """Zero-area faces are skipped exactly like the oracle's det guard, and
+    one HostBVH instance serves multiple trace calls."""
+    from intrinsic_neural_fields_tpu.ops import HostBVH
+
+    m = icosphere(1)
+    V = np.asarray(m.vertices)
+    F = np.asarray(m.faces)
+    # append degenerate faces: repeated vertex and collinear sliver
+    F_bad = np.concatenate(
+        [F, np.array([[0, 0, 1], [2, 2, 2]], F.dtype)], axis=0
+    )
+    R = 500
+    origins = np.tile(np.array([[0.0, -3.0, 0.0]]), (R, 1))
+    dirs = rng.normal(size=(R, 3)) * 0.2 + np.array([0.0, 1.0, 0.0])
+
+    t0, f0, b0, v0 = intersect_rays_numpy(V, F_bad, origins, dirs)
+    bvh = HostBVH(V, F_bad)
+    for _ in range(2):  # reuse across calls
+        t1, f1, b1, v1 = bvh.trace(origins, dirs)
+        np.testing.assert_array_equal(v0, v1)
+        np.testing.assert_array_equal(f0[v0], f1[v0])
+        np.testing.assert_allclose(t1[v0], t0[v0], rtol=1e-12, atol=0)
+
+
+def test_intersect_rays_host_fallback_contract(rng):
+    """intersect_rays_host returns the oracle contract whether or not the
+    native core is available."""
+    from intrinsic_neural_fields_tpu.ops import intersect_rays_host
+
+    m = icosphere(2)
+    origins = np.array([[0.0, -3.0, 0.0]] * 3)
+    dirs = np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.1], [1.0, 0.0, 0.0]])
+    t, f, b, v = intersect_rays_host(m.vertices, m.faces, origins, dirs)
+    t0, f0, b0, v0 = intersect_rays_numpy(m.vertices, m.faces, origins, dirs)
+    np.testing.assert_array_equal(v, v0)
+    np.testing.assert_array_equal(f[v], f0[v])
+    np.testing.assert_allclose(t[v], t0[v], rtol=1e-12)

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from intrinsic_neural_fields_tpu.geometry.mesh_io import write_obj  # noqa: E402
 from intrinsic_neural_fields_tpu.geometry.primitives import icosphere  # noqa: E402
-from intrinsic_neural_fields_tpu.ops.intersect import intersect_rays_numpy  # noqa: E402
+from intrinsic_neural_fields_tpu.ops.intersect import intersect_rays_host  # noqa: E402
 from intrinsic_neural_fields_tpu.utils.io import imwrite  # noqa: E402
 
 
@@ -106,7 +106,7 @@ def render_gt_view(mesh, cam, K, H, W, tracer="host", texture_positions=None):
         bary[mo] = np.asarray(hits.bary)
         valid[mo] = np.asarray(hits.valid)
     else:
-        t, face_idx, bary, valid = intersect_rays_numpy(
+        t, face_idx, bary, valid = intersect_rays_host(
             mesh.vertices, mesh.faces, origins, dirs
         )
     img = np.ones((H * W, 3), dtype=np.float32)
