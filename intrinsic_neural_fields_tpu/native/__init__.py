@@ -18,8 +18,13 @@ def _build(src_name, lib_name, extra_flags=()):
     lib = os.path.join(_DIR, lib_name)
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           *extra_flags, "-o", lib, src]
+    # -ffp-contract=off: these cores carry exact-parity contracts against
+    # numpy f64 references (the BVH tracer's hit/tie structure, the iDT flip
+    # predicates); FMA contraction under -march=native silently changes the
+    # last bits of dot/cross chains and breaks argmin ties numpy resolves
+    # differently.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fPIC",
+           "-shared", "-std=c++17", *extra_flags, "-o", lib, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except (subprocess.SubprocessError, FileNotFoundError) as e:
@@ -39,9 +44,13 @@ def load_bvh():
     if _bvh_lib is not None:
         return _bvh_lib
     c = ctypes
-    for flags in (("-fopenmp",), ()):
+    # Distinct filenames per flag variant: a stale OpenMP-linked .so must not
+    # satisfy _build's mtime check when libgomp is absent (the CDLL failure
+    # would then repeat forever and the fallback could never actually build).
+    for flags, lib_name in ((("-fopenmp",), "libbvh.so"),
+                            ((), "libbvh_serial.so")):
         try:
-            lib = c.CDLL(_build("bvh.cpp", "libbvh.so", extra_flags=flags))
+            lib = c.CDLL(_build("bvh.cpp", lib_name, extra_flags=flags))
             break
         except (RuntimeError, OSError):
             continue

@@ -191,23 +191,36 @@ static int64_t build_node(BVH &bvh, std::vector<BuildPrim> &prims,
   return node_id;
 }
 
+// One slab axis: tighten [tmin, tmax] by this axis's entry/exit interval.
+// NaN guard: with d==0 the products are 0 * inf = NaN exactly when the
+// origin sits ON a slab bound — i.e. the origin is inside the closed slab
+// and the ray never leaves it, so the axis imposes no constraint. Without
+// the guard the NaN poisons the min/max chain and silently prunes the node
+// (a false miss the brute-force oracle does not produce).
+static inline void slab_axis(double lo, double hi, double o, double inv,
+                             double &tmin, double &tmax) {
+  double t0 = (lo - o) * inv, t1 = (hi - o) * inv;
+  if (std::isnan(t0) || std::isnan(t1)) return;
+  tmin = std::max(tmin, std::min(t0, t1));
+  tmax = std::min(tmax, std::max(t0, t1));
+}
+
 // Slab test: should the ray visit box b given the current best hit t_cap?
 // Non-strict tmin <= t_cap so exact-t ties in a farther box are still
 // visited (the lowest-face-index tie-break reproduces numpy argmin).
 static inline bool box_visit(const AABB &b, const Vec3 &o, const Vec3 &inv_d,
                              double t_cap) {
-  double t0 = (b.lo.x - o.x) * inv_d.x;
-  double t1 = (b.hi.x - o.x) * inv_d.x;
-  double tmin = std::min(t0, t1), tmax = std::max(t0, t1);
-  t0 = (b.lo.y - o.y) * inv_d.y;
-  t1 = (b.hi.y - o.y) * inv_d.y;
-  tmin = std::max(tmin, std::min(t0, t1));
-  tmax = std::min(tmax, std::max(t0, t1));
-  t0 = (b.lo.z - o.z) * inv_d.z;
-  t1 = (b.hi.z - o.z) * inv_d.z;
-  tmin = std::max(tmin, std::min(t0, t1));
-  tmax = std::min(tmax, std::max(t0, t1));
-  return tmax >= std::max(tmin, 0.0) && tmin <= t_cap;
+  double tmin = -kInf, tmax = kInf;
+  slab_axis(b.lo.x, b.hi.x, o.x, inv_d.x, tmin, tmax);
+  slab_axis(b.lo.y, b.hi.y, o.y, inv_d.y, tmin, tmax);
+  slab_axis(b.lo.z, b.hi.z, o.z, inv_d.z, tmin, tmax);
+  // Relative slack on the cap: the slab tmin and the Moller-Trumbore t round
+  // independently (a ray through a vertex on a box face can give tmin
+  // exactly 2.0 with best_t one ulp below), and a tied lower-index face
+  // behind that plane must still be visited for the argmin tie-break to
+  // reproduce the numpy oracle. ~450 ulps of slack is geometrically nothing
+  // and only admits a handful of extra box visits.
+  return tmax >= std::max(tmin, 0.0) && tmin <= t_cap * (1.0 + 1e-13);
 }
 
 }  // namespace

@@ -44,9 +44,14 @@ def load_checkpoint(path, template):
 def resolve_weights_path(out_dir, weights_name="model.ckpt"):
     """Path of the trained weights in an out_dir: ours (`weights_name`), or a
     reference-trained ``model.pt`` when that's what the directory contains
-    (reference trainer.py:270-274; converted on load by load_checkpoint)."""
+    (reference trainer.py:270-274; converted on load by load_checkpoint).
+
+    The ``model.pt`` substitution applies only when the DEFAULT checkpoint is
+    requested — a caller naming a specific checkpoint (e.g. an epoch snapshot)
+    must get a FileNotFoundError from its open(), not silently different
+    weights."""
     path = os.path.join(out_dir, weights_name)
-    if not os.path.exists(path):
+    if weights_name == "model.ckpt" and not os.path.exists(path):
         ref_path = os.path.join(out_dir, "model.pt")
         if os.path.exists(ref_path):
             return ref_path

@@ -238,3 +238,36 @@ def test_intersect_rays_host_fallback_contract(rng):
     np.testing.assert_array_equal(v, v0)
     np.testing.assert_array_equal(f[v], f0[v])
     np.testing.assert_allclose(t[v], t0[v], rtol=1e-12)
+
+
+def test_native_bvh_axis_parallel_ray_on_box_bound():
+    """Slab-test NaN regression: a ray with a zero direction component whose
+    origin coordinate equals a BVH node bound computes 0 * inf = NaN in the
+    slab products. The NaN must be treated as 'axis imposes no constraint'
+    (the origin sits on — hence inside — the closed slab), not poison the
+    min/max chain into a false miss the numpy oracle does not produce."""
+    from intrinsic_neural_fields_tpu.ops import HostBVH
+
+    # Mesh min/max x are exactly 0 and 2 (box bounds land on them). The two
+    # target triangles have an edge on x=0 / x=2 so the axis-parallel rays
+    # below hit AT the bound coordinate (inclusive edge hits in the oracle).
+    V = np.array(
+        [
+            [0.0, -1.0, 1.0], [0.0, 2.0, 1.0], [2.0, 0.5, 1.0],  # hit tri A
+            [2.0, -1.0, 0.0], [2.0, 2.0, 0.0], [0.0, 0.5, 0.0],  # hit tri B
+            [1.0, 5.0, 2.0], [1.5, 6.0, 2.0], [0.5, 6.0, 2.0],   # filler
+        ]
+    )
+    F = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+    # d.x == 0, o.x on the lo.x / hi.x bound; plus a d.y == 0 ray on the
+    # y bound for the second axis's chain.
+    origins = np.array([[0.0, 0.5, 3.0], [2.0, 0.5, 3.0], [1.0, -1.0, 3.0]])
+    dirs = np.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+
+    t0, f0, b0, v0 = intersect_rays_numpy(V, F, origins, dirs)
+    assert v0[0] and v0[1]  # the oracle finds the on-bound hits
+    bvh = HostBVH(V, F)
+    t1, f1, b1, v1 = bvh.trace(origins, dirs)
+    np.testing.assert_array_equal(v1, v0)
+    np.testing.assert_array_equal(f1[v0], f0[v0])
+    np.testing.assert_allclose(t1[v0], t0[v0], rtol=1e-12)

@@ -59,7 +59,19 @@ def look_at_cam(eye, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
     ).astype(np.float32)
 
 
-def render_gt_view(mesh, cam, K, H, W, tracer="host", texture_positions=None):
+def _host_bvh_or_none(mesh):
+    """One BVH per mesh for a view loop (the O(F log F) build would otherwise
+    repeat per view); None when the native core is unavailable."""
+    from intrinsic_neural_fields_tpu.ops.intersect import HostBVH
+
+    try:
+        return HostBVH(mesh.vertices, mesh.faces)
+    except RuntimeError:
+        return None
+
+
+def render_gt_view(mesh, cam, K, H, W, tracer="host", texture_positions=None,
+                   bvh=None):
     """GT render: (img [H,W,3] f32, mask [H,W] bool).
 
     tracer="host" uses the float64 oracle (independent of the device path
@@ -107,7 +119,7 @@ def render_gt_view(mesh, cam, K, H, W, tracer="host", texture_positions=None):
         valid[mo] = np.asarray(hits.valid)
     else:
         t, face_idx, bary, valid = intersect_rays_host(
-            mesh.vertices, mesh.faces, origins, dirs
+            mesh.vertices, mesh.faces, origins, dirs, bvh=bvh
         )
     img = np.ones((H * W, 3), dtype=np.float32)
     tex_v = mesh.vertices if texture_positions is None else np.asarray(texture_positions)
@@ -153,6 +165,7 @@ def make_dataset(
 
     n_total = n_train + n_val + n_test + n_vis
     cams = camera_ring(n_total)
+    bvh = _host_bvh_or_none(mesh) if tracer == "host" else None
     names = []
     for i, cam in enumerate(cams):
         if i < n_train:
@@ -168,7 +181,7 @@ def make_dataset(
         os.makedirs(os.path.join(vdir, "depth"), exist_ok=True)
         os.makedirs(os.path.join(vdir, "image"), exist_ok=True)
 
-        img, mask = render_gt_view(mesh, cam, K, H, W, tracer=tracer)
+        img, mask = render_gt_view(mesh, cam, K, H, W, tracer=tracer, bvh=bvh)
         np.savez(
             os.path.join(vdir, "depth", "cameras.npz"), world_mat_0=cam, camera_mat_0=K
         )

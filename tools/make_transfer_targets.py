@@ -122,6 +122,9 @@ def make_deformed_views(out_dir, deformed_mesh, source_verts, src_dataset, split
     with open(os.path.join(src_dataset, f"{split}.lst")) as f:
         names = [ln.strip() for ln in f if ln.strip()]
     os.makedirs(out_dir, exist_ok=True)
+    from tools.make_synthetic_dataset import _host_bvh_or_none
+
+    bvh = _host_bvh_or_none(deformed_mesh) if tracer == "host" else None
     for name in names:
         cams = np.load(os.path.join(src_dataset, name, "depth", "cameras.npz"))
         cam, K = cams["world_mat_0"], cams["camera_mat_0"]
@@ -132,7 +135,7 @@ def make_deformed_views(out_dir, deformed_mesh, source_verts, src_dataset, split
         H, W = src_mask.shape[:2]
         img, mask = render_gt_view(
             deformed_mesh, cam, K, H, W, tracer=tracer,
-            texture_positions=source_verts,
+            texture_positions=source_verts, bvh=bvh,
         )
         vdir = os.path.join(out_dir, name)
         os.makedirs(os.path.join(vdir, "depth"), exist_ok=True)
