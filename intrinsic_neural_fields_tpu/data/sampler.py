@@ -107,6 +107,67 @@ def precompute_hit_features(data: RayData, chunk=1 << 16, dtype=None):
     )
 
 
+def pre_embed_ray_data(encoder_apply, data: RayData, chunk=1 << 16, dtype=None):
+    """RayData whose hit_features hold the model's EMBEDDED MLP input, one
+    row per cached hit: emb = encoder_apply(interp(vertices)) computed once,
+    on device, in chunks.
+
+    The xyz/ff/rff encodings are fixed functions of the hit position (the
+    RFF projection is a non-trainable buffer), so embedding per hit instead
+    of per step is exact — and it makes these families eligible for the
+    fused Pallas train step, which streams [N, emb_dim] rows the way it
+    streams eigenfeature rows (train/steps.py fused_pre_embed_eligible).
+
+    The hit xyz is recomputed from the f32 vertex table (not read from a
+    possibly-bf16 precomputed hit_features) so the encoding sees full
+    precision; `dtype` then controls the STORAGE dtype of the embedded rows,
+    exactly like precompute_hit_features.
+
+    Returned RayData reports feature_strategy "efuncs": the embedded rows
+    feed the MLP directly under the "eigenfunctions" batch key, which is
+    what the mlp_core_view model consumes. The [V,*] features table is
+    replaced by a [1, emb_dim] placeholder — its width carries the fused
+    kernel's k_in; vertex interpolation of a nonlinear embedding would be
+    wrong and every consumer of pre-embedded data reads hit_features only.
+    """
+    import jax
+    from jax import lax
+
+    assert data.feature_strategy in ("ff", "rff", "xyz"), data.feature_strategy
+    verts = data.features  # [V, 3] f32 vertex positions for these strategies
+    assert verts.shape[1] == 3, verts.shape
+
+    n = data.n
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    vids = jnp.pad(data.vertex_idxs_of_hit_faces, ((0, pad), (0, 0)))
+    bary = jnp.pad(data.barycentric_coords, ((0, pad), (0, 0)))
+    vids = vids.reshape(n_chunks, chunk, 3)
+    bary = bary.reshape(n_chunks, chunk, 3)
+
+    @jax.jit
+    def run(verts, vids, bary):
+        def one(args):
+            xyz = interpolate_vertex_features(verts, *args)
+            emb = encoder_apply(xyz)
+            return emb if dtype is None else emb.astype(dtype)
+
+        return lax.map(one, (vids, bary))
+
+    emb = run(verts, vids, bary)
+    emb = emb.reshape(-1, emb.shape[-1])[:n]
+    return RayData(
+        features=jnp.zeros((1, emb.shape[1]), jnp.float32),
+        feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=data.vertex_idxs_of_hit_faces,
+        barycentric_coords=data.barycentric_coords,
+        expected_rgbs=data.expected_rgbs,
+        unit_ray_dirs=data.unit_ray_dirs,
+        face_idxs=data.face_idxs,
+        hit_features=emb,
+    )
+
+
 # Precompute hit features only while the [N,k] matrix stays under this budget
 # (f32 bytes); above it the per-step vertex gather is used instead.
 PRECOMPUTE_BYTES_LIMIT = 6 << 30

@@ -108,6 +108,60 @@ class TextureField(nn.Module):
         return nn.sigmoid(out) if self.return_rgb else nn.relu(out)
 
 
+def input_encoder_apply(model, variables):
+    """Pure function xyz -> the model's embedded MLP input, or None when the
+    model consumes raw eigenfunctions (nothing to precompute).
+
+    The xyz/ff/rff input encodings are FIXED functions of the hit position:
+    Fourier bands are constants and the random projection B is a persistent
+    non-trainable buffer (reference layers.py:28-39; gradient never flows
+    into it). They can therefore be evaluated once per cached hit and the
+    training loop run on the pre-embedded rows — which is what lets the
+    fused Pallas train step cover these model families too (train/steps.py
+    fused_pre_embed_eligible)."""
+    embed = model.input_feature_embed
+    if embed in (None, "efuncs"):
+        return None
+    if embed == "xyz":
+        return lambda x: x
+    if embed == "ff":
+        enc = FourierFeatEnc(
+            model.embed_dim,
+            include_input=model.embed_include_input,
+            use_logspace=model.embed_use_logspace,
+            max_freq=model.embed_max_freq,
+        )
+        return lambda x: enc.apply({}, x)
+    if embed == "rff":
+        B = variables["buffers"]["RandomFourierFeatEnc_0"]["B"]
+        enc = RandomFourierFeatEnc(
+            model.embed_dim,
+            std=model.embed_std,
+            include_input=model.embed_include_input,
+        )
+        return lambda x: enc.apply({"buffers": {"B": B}}, x)
+    raise ValueError(f"Unknown input feature embed: {embed}")
+
+
+def mlp_core_view(model):
+    """The same TextureField over PRE-EMBEDDED inputs: input_feature_embed
+    dropped, everything else identical. The encoders hold no trainable
+    parameters (RFF's B is a buffer), so the Dense-layer numbering — hence
+    the params pytree — is identical to `model`'s and one TrainState serves
+    both. Feed it batches whose "eigenfunctions" key holds
+    input_encoder_apply(model, ...)(hit_xyz)."""
+    return TextureField(
+        num_layers=model.num_layers,
+        hidden_dim=model.hidden_dim,
+        skip_layer_idx=model.skip_layer_idx,
+        input_feature_embed=None,
+        return_rgb=model.return_rgb,
+        out_dim=model.out_dim,
+        batchnorm=model.batchnorm,
+        activation=model.activation,
+    )
+
+
 def calculate_angle_between_vectors(a, b):
     """Angle between row vectors via clipped cosine similarity
     (reference model.py:115-120)."""

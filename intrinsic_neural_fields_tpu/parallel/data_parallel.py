@@ -388,7 +388,10 @@ def parallelize_trainer(trainer, n_devices):
     """Swap a Trainer's jitted epoch fns for mesh-sharded ones."""
     mesh = make_device_mesh(n_devices)
     trainer.train_epoch_fn, trainer.val_epoch_fn = make_dp_epoch_fns(
-        trainer.model, trainer.optimizer, trainer.loss_type, mesh,
+        # epoch_model: the mlp_core_view when the Trainer pre-embedded the
+        # data for a fused xyz/ff/rff run (same params tree as model)
+        getattr(trainer, "epoch_model", trainer.model),
+        trainer.optimizer, trainer.loss_type, mesh,
         shuffle=getattr(trainer, "shuffle", "full"),
         fused=getattr(trainer, "fused_mlp", False),
         fused_interleave=trainer.config["training"].get("fused_interleave", 1),

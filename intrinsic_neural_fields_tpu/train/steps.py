@@ -71,6 +71,27 @@ def fused_mlp_eligible(model):
     )
 
 
+def fused_pre_embed_eligible(model):
+    """TextureFields over xyz/ff/rff inputs become fused-eligible after
+    PRE-EMBEDDING: the encodings are fixed functions of the hit position
+    (models/texture_field.input_encoder_apply), so the dataset's hit rows can
+    carry the embedded MLP input and the training loop runs the
+    mlp_core_view — a plain TextureField with an identical params tree — on
+    them. The Trainer does this transformation when training.fused_mlp is
+    set on such a config (data.sampler.pre_embed_ray_data)."""
+    from ..models.texture_field import TextureField
+
+    return (
+        type(model) is TextureField
+        and model.input_feature_embed in ("xyz", "ff", "rff")
+        and not model.batchnorm
+        and model.activation == "relu"
+        and model.return_rgb
+        and model.out_dim == 3
+        and model.hidden_dim % 128 == 0
+    )
+
+
 def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
     """Largest batch tile whose working set fits the ~16MB VMEM scope.
 
@@ -194,7 +215,10 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       are unchanged up to f32 reduction order). The full-shuffle step is
       gather-bound (RESULTS.md: 548.7 us/step ≈ 27x the HBM bound of the
       [4096, 1023] row gather); a monotone gather gives HBM locality the
-      random pattern can't.
+      random pattern can't. Measured a LOSER on device at the canonical
+      cat scale (tools/ab_sorted_gather.py: the per-batch argsort costs
+      more than the locality saves, e.g. 216 -> 282 us/step on the bf16
+      table) — kept available for much wider feature tables, default off.
     """
     assert shuffle in ("full", "blocks")
     if fused:

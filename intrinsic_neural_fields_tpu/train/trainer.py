@@ -17,6 +17,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import MeshroomRadialK3Dataset
@@ -24,7 +25,13 @@ from ..evaluation.metrics import epoch_psnr, psnr
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.io import imread, load_cameras, load_obj_mask_as_numpy
 from .plateau import ReduceLROnPlateau
-from .steps import TrainState, create_train_state, make_epoch_fns, make_variables
+from .steps import (
+    TrainState,
+    create_train_state,
+    fused_pre_embed_eligible,
+    make_epoch_fns,
+    make_variables,
+)
 
 
 def reference_adam_opt_state(optimizer, params, adam):
@@ -75,8 +82,35 @@ class Trainer:
         self.state = create_train_state(variables, optimizer)
         self.shuffle = config["training"].get("shuffle", "full")
         self.fused_mlp = config["training"].get("fused_mlp", False)
+
+        self.train_data = data["train"]
+        self.val_data = data["val"]
+        self.test_data = data.get("test")
+
+        # The model the EPOCH functions run. For xyz/ff/rff TextureFields
+        # with training.fused_mlp, the input encoding is a fixed function of
+        # the hit position, so all splits are pre-embedded once and the
+        # epochs run the mlp_core_view (identical params tree) on the
+        # embedded rows — which is what makes these families eligible for
+        # the fused Pallas step. Rendering/eval keep the ORIGINAL model:
+        # fresh rays embed in-forward.
+        self.epoch_model = model
+        self._pre_embed_buffers = None
+        if self.fused_mlp and fused_pre_embed_eligible(model):
+            from ..models.texture_field import mlp_core_view
+
+            dtype = config["data"].get("precompute_dtype")
+            if isinstance(dtype, str):
+                dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+            self._pre_embed_dtype = dtype
+            self._raw_splits = (
+                data["train"], data["val"], data.get("test")
+            )
+            if self._apply_pre_embedding(variables.get("buffers", {})):
+                self.epoch_model = mlp_core_view(model)
+
         self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(
-            model, optimizer, loss_type, shuffle=self.shuffle,
+            self.epoch_model, optimizer, loss_type, shuffle=self.shuffle,
             fused=self.fused_mlp,
             # in-kernel Adam rides the fused streaming path by default;
             # training.fused_adam: false is the escape hatch
@@ -92,9 +126,6 @@ class Trainer:
         self.H = config["data"]["img_height"]
         self.W = config["data"]["img_width"]
 
-        self.train_data = data["train"]
-        self.val_data = data["val"]
-        self.test_data = data.get("test")
         if self.dataset_type is None:
             self.val_render_infos = list(
                 zip(
@@ -126,6 +157,60 @@ class Trainer:
         self.base_key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------ utils
+
+    def _apply_pre_embedding(self, buffers):
+        """(Re)compute the pre-embedded splits for the fused xyz/ff/rff path
+        using the encoder state in `buffers` (the RFF projection B lives
+        there). Returns False — leaving the original model/data in place —
+        when the embedded table would exceed the precompute budget (a table
+        that large can't stream through the fused kernel's HBM layout
+        anyway)."""
+        from ..data.sampler import PRECOMPUTE_BYTES_LIMIT, pre_embed_ray_data
+        from ..models.texture_field import input_encoder_apply
+
+        train_raw, val_raw, test_raw = self._raw_splits
+        enc = input_encoder_apply(
+            self.model, {"params": {}, "buffers": buffers}
+        )
+        dtype = self._pre_embed_dtype
+        emb_dim = np.asarray(enc(jnp.zeros((1, 3), jnp.float32))).shape[1]
+        itemsize = 2 if dtype == jnp.bfloat16 else 4
+        if train_raw.n * emb_dim * itemsize > PRECOMPUTE_BYTES_LIMIT:
+            print(
+                "fused_mlp: pre-embedded feature table would exceed the "
+                "precompute budget — keeping the XLA in-forward path"
+            )
+            self.fused_mlp = False
+            return False
+        self.train_data = pre_embed_ray_data(enc, train_raw, dtype=dtype)
+        self.val_data = pre_embed_ray_data(enc, val_raw, dtype=dtype)
+        if test_raw is not None:
+            self.test_data = pre_embed_ray_data(enc, test_raw, dtype=dtype)
+        self._pre_embed_buffers = jax.device_get(buffers)
+        return True
+
+    def _refresh_pre_embedding_after_restore(self):
+        """A restored checkpoint may carry DIFFERENT encoder buffers than the
+        ones the constructor embedded with (a reference-trained torch
+        checkpoint brings its own RFF projection B; our own checkpoints
+        reproduce the init-time B only when seeds match). Stale embeddings
+        would silently train against the wrong encoding — re-embed when the
+        buffers changed."""
+        if self._pre_embed_buffers is None:
+            return
+        restored = jax.device_get(self.state.buffers)
+        same = jax.tree_util.tree_structure(restored) == (
+            jax.tree_util.tree_structure(self._pre_embed_buffers)
+        ) and all(
+            np.array_equal(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(restored),
+                jax.tree_util.tree_leaves(self._pre_embed_buffers),
+            )
+        )
+        if not same:
+            print("Encoder buffers changed on restore — re-embedding splits...")
+            self._apply_pre_embedding(self.state.buffers)
 
     def _checkpoint_payload(self, epoch):
         return {
@@ -294,6 +379,7 @@ class Trainer:
     def train(self):
         print("Starting training...")
         epoch_start_idx = self._init_or_load_checkpoint()
+        self._refresh_pre_embedding_after_restore()
 
         num_batches = (
             self.train_data.n // self.batch_size
