@@ -52,7 +52,7 @@ def make_device_mesh(n_devices=None, axis_name="data"):
 
 
 def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
-                      shuffle="full", fused=False, fused_interleave=1,
+                      shuffle="full", fused=False, fused_interleave=4,
                       sorted_gather=False):
     """(train_epoch, val_epoch) with the same signatures as train.steps'
     single-device versions, but sharded over `mesh`. shuffle="blocks" streams
@@ -211,13 +211,15 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 # to the device's own rows under shard_map).
                 fused_stream = data.hit_features.dtype in (jnp.bfloat16, jnp.float32)
                 x_bytes = 2 if data.hit_features.dtype == jnp.bfloat16 else 4
+                from ..train.steps import _effective_interleave
+
+                tile = _pick_fused_tile(
+                    spec, local_b, stream=fused_stream, x_bytes=x_bytes
+                )
                 fused_run = make_fused_train_grads(
-                    spec, loss_type,
-                    batch_tile=_pick_fused_tile(
-                        spec, local_b, stream=fused_stream, x_bytes=x_bytes
-                    ),
+                    spec, loss_type, batch_tile=tile,
                     stream=fused_stream,
-                    interleave=fused_interleave,
+                    interleave=_effective_interleave(fused_interleave, tile),
                 )
 
                 def _pad_opt(opt_state, params):
@@ -394,7 +396,7 @@ def parallelize_trainer(trainer, n_devices):
         trainer.optimizer, trainer.loss_type, mesh,
         shuffle=getattr(trainer, "shuffle", "full"),
         fused=getattr(trainer, "fused_mlp", False),
-        fused_interleave=trainer.config["training"].get("fused_interleave", 1),
+        fused_interleave=trainer.config["training"].get("fused_interleave", 4),
         sorted_gather=trainer.config["training"].get("sorted_gather", False),
     )
     print(f"Data-parallel training over {n_devices} devices: {mesh}")

@@ -15,6 +15,8 @@ default to reference behavior when absent):
   fused_adam: bool — fold Adam into the kernel (default true on the fused
     streaming path; see steps._adam_opt_view for eligibility)
   fused_interleave: int — independent sub-tile chains per kernel tile
+    (default 4, measured 14% faster device step at cat scale; 1 restores
+    the bit-exact historical op order)
   sorted_gather: bool — ascending per-batch gathers in full-shuffle mode
   precompute_dtype (data.*): "bfloat16" halves the hit-feature table
   profile_dir: capture a jax.profiler trace of one epoch

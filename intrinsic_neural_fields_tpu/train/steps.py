@@ -136,6 +136,18 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
     return batch_size  # single-tile fallback (batch not divisible by 256)
 
 
+def _effective_interleave(requested, tile):
+    """Largest power-of-two interleave <= requested that divides `tile` with
+    sub-chunks of at least 64 rows (narrower chunks waste the 8x128 register
+    tiling and the fill/drain overlap they were meant to buy)."""
+    eff = 1
+    while (
+        eff * 2 <= requested and tile % (eff * 2) == 0 and tile // (eff * 2) >= 64
+    ):
+        eff *= 2
+    return eff
+
+
 def _adam_opt_view(opt_state):
     """(hyperparams dict, ScaleByAdamState, inner_state tuple) when opt_state
     is an optax.inject_hyperparams(optax.adam)(...) state; None for any other
@@ -171,7 +183,7 @@ def _adam_opt_view(opt_state):
 
 
 def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
-                   fused_adam=True, fused_interleave=1, sorted_gather=False):
+                   fused_adam=True, fused_interleave=4, sorted_gather=False):
     """Build (train_epoch, val_epoch), both jitted.
 
     train_epoch(state, key, data, num_batches, batch_size)
@@ -208,7 +220,12 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       sub-tile chains per batch tile inside the fused kernels
       (ops/fused_mlp._train_grads_body): >1 splits each tile into
       independent matmul chains so the MXU can overlap fill/drain across
-      them. Gradient sums reassociate in f32 (parity-tested).
+      them. Gradient sums reassociate in f32 (parity-tested). Default 4 —
+      measured 76.2 -> 65.4 us/step device on the shipped in-kernel-Adam
+      epoch at the canonical cat scale (tools/trace_train.py --interleave;
+      the kernel-only decomposition agrees, 67.3 -> 56.4 us). Clamped to a
+      power of two dividing the picked batch tile with >=64-row chunks
+      (_effective_interleave); 1 restores the historical bit-exact order.
     sorted_gather:
       full-shuffle mode only — gather each batch's rows in ascending index
       order (the batch mean is within-batch order-invariant, so semantics
@@ -298,22 +315,21 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                 fused_stream and fused_adam and adam_view is not None
             )
             if use_kernel_adam:
+                tile = _pick_fused_tile(
+                    spec, batch_size, stream=True, x_bytes=x_bytes, adam=True,
+                )
                 adam_run = make_fused_train_adam(
-                    spec, loss_type,
-                    batch_tile=_pick_fused_tile(
-                        spec, batch_size, stream=True, x_bytes=x_bytes,
-                        adam=True,
-                    ),
-                    interleave=fused_interleave,
+                    spec, loss_type, batch_tile=tile,
+                    interleave=_effective_interleave(fused_interleave, tile),
                 )
             else:
+                tile = _pick_fused_tile(
+                    spec, batch_size, stream=fused_stream, x_bytes=x_bytes
+                )
                 fused_run = make_fused_train_grads(
-                    spec, loss_type,
-                    batch_tile=_pick_fused_tile(
-                        spec, batch_size, stream=fused_stream, x_bytes=x_bytes
-                    ),
+                    spec, loss_type, batch_tile=tile,
                     stream=fused_stream,
-                    interleave=fused_interleave,
+                    interleave=_effective_interleave(fused_interleave, tile),
                 )
 
         if use_kernel_adam:

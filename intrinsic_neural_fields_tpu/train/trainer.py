@@ -115,7 +115,7 @@ class Trainer:
             # in-kernel Adam rides the fused streaming path by default;
             # training.fused_adam: false is the escape hatch
             fused_adam=config["training"].get("fused_adam", True),
-            fused_interleave=config["training"].get("fused_interleave", 1),
+            fused_interleave=config["training"].get("fused_interleave", 4),
             sorted_gather=config["training"].get("sorted_gather", False),
         )
 

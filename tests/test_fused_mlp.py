@@ -262,6 +262,21 @@ def test_fused_tile_budget_choices():
                             adam=True) == 1024
 
 
+def test_effective_interleave_clamp():
+    """The default interleave=4 must clamp to the picked tile: a power of two
+    dividing the tile with sub-chunks of at least 64 rows."""
+    from intrinsic_neural_fields_tpu.train.steps import _effective_interleave
+
+    assert _effective_interleave(4, 1024) == 4
+    assert _effective_interleave(4, 2048) == 4
+    assert _effective_interleave(8, 1024) == 8
+    assert _effective_interleave(4, 256) == 4       # 64-row chunks, allowed
+    assert _effective_interleave(4, 128) == 2       # 32-row chunks, too thin
+    assert _effective_interleave(4, 300) == 4       # 75-row chunks, allowed
+    assert _effective_interleave(4, 100) == 1       # 50-row halves, too thin
+    assert _effective_interleave(1, 2048) == 1      # explicit opt-out honored
+
+
 def test_train_grads_interleave_matches():
     """interleave=2 (two independent sub-tile chains, MXU latency hiding)
     must match interleave=1 up to f32 reassociation of the batch

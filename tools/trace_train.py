@@ -43,6 +43,8 @@ def main():
     p.add_argument("--n", type=int, default=1 << 20)
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--top", type=int, default=8)
+    p.add_argument("--interleave", type=int, default=1,
+                   help="fused_interleave for the fused variants")
     args = p.parse_args()
 
     import jax
@@ -87,7 +89,7 @@ def main():
     for name, fused, fused_adam in variants:
         train_epoch, _ = make_epoch_fns(
             model, optimizer, "L1", shuffle="blocks", fused=fused,
-            fused_adam=fused_adam,
+            fused_adam=fused_adam, fused_interleave=args.interleave,
         )
         state = create_train_state(
             jax.tree_util.tree_map(jnp.array, variables), optimizer
