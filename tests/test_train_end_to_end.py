@@ -406,6 +406,32 @@ def test_rff_fused_pre_embed_end_to_end(synthetic_setup):
     assert not np.allclose(old_rows, new_rows)
 
 
+def test_parallelize_trainer_dp_pre_embed(synthetic_setup):
+    """Trainer-level data parallelism (what `train.py --num_devices D`
+    drives): parallelize_trainer swaps the epoch fns for mesh-sharded ones
+    and must pass the EPOCH model — for a pre-embedded fused rff run that is
+    the mlp_core_view, not the original rff model (whose in-forward encoder
+    would reject the embedded rows). Training learns through the 8-device
+    fused DP path."""
+    from intrinsic_neural_fields_tpu.evaluation.metrics import epoch_psnr
+    from intrinsic_neural_fields_tpu.parallel import parallelize_trainer
+
+    cfg = synthetic_setup["config"]("out_rff_dp", epochs=30, batch_size=512)
+    cfg["model"] = {
+        "feature_strategy": "rff", "k": 16, "embed_std": 4.0,
+        "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2,
+    }
+    cfg["training"]["shuffle"] = "blocks"
+    cfg["training"]["fused_mlp"] = True
+    trainer, _ = _build_trainer(cfg)
+    assert trainer.epoch_model is not trainer.model  # pre-embed engaged
+    parallelize_trainer(trainer, 8)
+
+    trainer.train()
+    m = jax.device_get(trainer.val_epoch_fn(trainer.state, trainer.train_data, 512))
+    assert epoch_psnr(m["sq_err_per_sample"]) > 14.0
+
+
 def test_shot_family_end_to_end_smoke(synthetic_setup, tmp_path):
     """The shape-descriptor SHOT family path end to end at toy scale:
     compute_shot_descriptors -> npy -> the config-default feature loading
