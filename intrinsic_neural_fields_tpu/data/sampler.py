@@ -64,6 +64,44 @@ class RayData:
         return cls(features, aux, vids, bary, rgbs, dirs, fidx, hit_features)
 
 
+def parse_precompute_dtype(dtype):
+    """data.precompute_dtype config value (None / "bfloat16" / "float32" /
+    a jnp dtype) -> jnp dtype or None. The single place the accepted
+    strings live — the Trainer's pre-embed path and create_ray_data must
+    agree on them."""
+    if dtype is None or not isinstance(dtype, str):
+        return dtype
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+
+
+def _chunked_hit_map(row_fn, data: RayData, chunk, dtype):
+    """[N,*] rows = row_fn(vids_chunk, bary_chunk) evaluated on device over
+    fixed-size chunks of the cached hits (zero-padded tail dropped), stored
+    as `dtype` (None keeps f32). The shared scaffolding of
+    precompute_hit_features and pre_embed_ray_data."""
+    import jax
+    from jax import lax
+
+    n = data.n
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    vids = jnp.pad(data.vertex_idxs_of_hit_faces, ((0, pad), (0, 0)))
+    bary = jnp.pad(data.barycentric_coords, ((0, pad), (0, 0)))
+    vids = vids.reshape(n_chunks, chunk, 3)
+    bary = bary.reshape(n_chunks, chunk, 3)
+
+    @jax.jit
+    def run(vids, bary):
+        def one(args):
+            out = row_fn(*args)
+            return out if dtype is None else out.astype(dtype)
+
+        return lax.map(one, (vids, bary))
+
+    rows = run(vids, bary)
+    return rows.reshape(-1, rows.shape[-1])[:n]
+
+
 def precompute_hit_features(data: RayData, chunk=1 << 16, dtype=None):
     """Interpolate the per-vertex features at every cached hit ONCE, on
     device, in chunks. The training gather then reads one [k] row per sample
@@ -75,26 +113,11 @@ def precompute_hit_features(data: RayData, chunk=1 << 16, dtype=None):
     precision anyway, the first Dense layer sees (almost) the same numbers —
     interpolation still happens in f32.
     """
-    import jax
-    from jax import lax
-
-    n, k = data.n, data.features.shape[1]
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-
-    vids = jnp.pad(data.vertex_idxs_of_hit_faces, ((0, pad), (0, 0)))
-    bary = jnp.pad(data.barycentric_coords, ((0, pad), (0, 0)))
-    vids = vids.reshape(n_chunks, chunk, 3)
-    bary = bary.reshape(n_chunks, chunk, 3)
-
-    @jax.jit
-    def run(features, vids, bary):
-        out = lax.map(
-            lambda args: interpolate_vertex_features(features, *args), (vids, bary)
-        )
-        return out if dtype is None else out.astype(dtype)
-
-    hit_features = run(data.features, vids, bary).reshape(-1, k)[:n]
+    features = data.features
+    hit_features = _chunked_hit_map(
+        lambda vids, bary: interpolate_vertex_features(features, vids, bary),
+        data, chunk, dtype,
+    )
     return RayData(
         features=data.features,
         feature_strategy=data.feature_strategy,
@@ -130,32 +153,16 @@ def pre_embed_ray_data(encoder_apply, data: RayData, chunk=1 << 16, dtype=None):
     kernel's k_in; vertex interpolation of a nonlinear embedding would be
     wrong and every consumer of pre-embedded data reads hit_features only.
     """
-    import jax
-    from jax import lax
-
     assert data.feature_strategy in ("ff", "rff", "xyz"), data.feature_strategy
     verts = data.features  # [V, 3] f32 vertex positions for these strategies
     assert verts.shape[1] == 3, verts.shape
 
-    n = data.n
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-    vids = jnp.pad(data.vertex_idxs_of_hit_faces, ((0, pad), (0, 0)))
-    bary = jnp.pad(data.barycentric_coords, ((0, pad), (0, 0)))
-    vids = vids.reshape(n_chunks, chunk, 3)
-    bary = bary.reshape(n_chunks, chunk, 3)
-
-    @jax.jit
-    def run(verts, vids, bary):
-        def one(args):
-            xyz = interpolate_vertex_features(verts, *args)
-            emb = encoder_apply(xyz)
-            return emb if dtype is None else emb.astype(dtype)
-
-        return lax.map(one, (vids, bary))
-
-    emb = run(verts, vids, bary)
-    emb = emb.reshape(-1, emb.shape[-1])[:n]
+    emb = _chunked_hit_map(
+        lambda vids, bary: encoder_apply(
+            interpolate_vertex_features(verts, vids, bary)
+        ),
+        data, chunk, dtype,
+    )
     return RayData(
         features=jnp.zeros((1, emb.shape[1]), jnp.float32),
         feature_strategy="efuncs",
@@ -244,10 +251,9 @@ def create_ray_data(
     if precompute is True or (
         precompute == "auto" and n * kdim * itemsize <= PRECOMPUTE_BYTES_LIMIT
     ):
-        dtype = precompute_dtype
-        if isinstance(dtype, str):
-            dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
-        ray_data = precompute_hit_features(ray_data, dtype=dtype)
+        ray_data = precompute_hit_features(
+            ray_data, dtype=parse_precompute_dtype(precompute_dtype)
+        )
     return ray_data
 
 

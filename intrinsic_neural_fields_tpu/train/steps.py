@@ -137,13 +137,19 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
 
 
 def _effective_interleave(requested, tile):
-    """Largest power-of-two interleave <= requested that divides `tile` with
-    sub-chunks of at least 64 rows (narrower chunks waste the 8x128 register
-    tiling and the fill/drain overlap they were meant to buy)."""
+    """Largest power-of-two interleave <= requested that splits `tile` into
+    sub-chunks that are (a) at least 64 rows (narrower chunks waste the
+    8x128 register tiling and the fill/drain overlap they were meant to
+    buy) and (b) a multiple of 8 rows — sublane-aligned, so the kernel's
+    x[j*C:(j+1)*C] row slices never start mid-sublane (Mosaic would have to
+    relayout or refuse). A tile that can't split cleanly (e.g. the
+    whole-batch fallback tile for batches with odd factors) keeps the
+    historical unsliced S=1 body."""
     eff = 1
-    while (
-        eff * 2 <= requested and tile % (eff * 2) == 0 and tile // (eff * 2) >= 64
-    ):
+    while eff * 2 <= requested:
+        chunk, rem = divmod(tile, eff * 2)
+        if rem or chunk < 64 or chunk % 8:
+            break
         eff *= 2
     return eff
 

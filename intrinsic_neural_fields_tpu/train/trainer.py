@@ -97,14 +97,23 @@ class Trainer:
         self.epoch_model = model
         self._pre_embed_buffers = None
         if self.fused_mlp and fused_pre_embed_eligible(model):
+            import dataclasses
+
+            from ..data.sampler import parse_precompute_dtype
             from ..models.texture_field import mlp_core_view
 
-            dtype = config["data"].get("precompute_dtype")
-            if isinstance(dtype, str):
-                dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
-            self._pre_embed_dtype = dtype
+            self._pre_embed_dtype = parse_precompute_dtype(
+                config["data"].get("precompute_dtype")
+            )
+            # Raw splits kept ONLY for a restore-time re-embed; their
+            # precomputed hit-xyz tables are never read again (re-embedding
+            # recomputes from the vertex table), so drop them rather than
+            # pin N*3 floats per split in HBM for the Trainer's lifetime.
+            strip = lambda d: (
+                None if d is None else dataclasses.replace(d, hit_features=None)
+            )
             self._raw_splits = (
-                data["train"], data["val"], data.get("test")
+                strip(data["train"]), strip(data["val"]), strip(data.get("test"))
             )
             if self._apply_pre_embedding(variables.get("buffers", {})):
                 self.epoch_model = mlp_core_view(model)
@@ -175,10 +184,14 @@ class Trainer:
         dtype = self._pre_embed_dtype
         emb_dim = np.asarray(enc(jnp.zeros((1, 3), jnp.float32))).shape[1]
         itemsize = 2 if dtype == jnp.bfloat16 else 4
-        if train_raw.n * emb_dim * itemsize > PRECOMPUTE_BYTES_LIMIT:
+        total_rows = sum(
+            d.n for d in (train_raw, val_raw, test_raw) if d is not None
+        )
+        if total_rows * emb_dim * itemsize > PRECOMPUTE_BYTES_LIMIT:
             print(
-                "fused_mlp: pre-embedded feature table would exceed the "
-                "precompute budget — keeping the XLA in-forward path"
+                "fused_mlp: pre-embedded feature tables (all splits) would "
+                "exceed the precompute budget — keeping the XLA in-forward "
+                "path"
             )
             self.fused_mlp = False
             return False

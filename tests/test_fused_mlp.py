@@ -272,8 +272,9 @@ def test_effective_interleave_clamp():
     assert _effective_interleave(8, 1024) == 8
     assert _effective_interleave(4, 256) == 4       # 64-row chunks, allowed
     assert _effective_interleave(4, 128) == 2       # 32-row chunks, too thin
-    assert _effective_interleave(4, 300) == 4       # 75-row chunks, allowed
-    assert _effective_interleave(4, 100) == 1       # 50-row halves, too thin
+    assert _effective_interleave(4, 300) == 1       # 150/75-row chunks break 8-row sublane alignment
+    assert _effective_interleave(4, 100) == 1       # 50-row halves misaligned AND too thin
+    assert _effective_interleave(4, 1920) == 4      # 480-row chunks, aligned non-pow2 tile
     assert _effective_interleave(1, 2048) == 1      # explicit opt-out honored
 
 
