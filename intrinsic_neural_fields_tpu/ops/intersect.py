@@ -468,13 +468,17 @@ def intersect_rays_numpy(vertices, faces, origins, dirs, chunk=None):
             qvec = np.cross(tvec, e1[None, :, :])
             v = np.einsum("rfk,rfk->rf", d, qvec) * inv_det
             t = np.einsum("fk,rfk->rf", e2, qvec) * inv_det
-        hit = (
-            (np.abs(det) > 1e-14)
-            & (u >= -B_EPS)
-            & (v >= -B_EPS)
-            & (u + v <= 1 + B_EPS)
-            & (t > T_EPS)
-        )
+            # the mask arithmetic stays inside the errstate guard: u/v are
+            # inf/NaN on degenerate-det lanes (u + v can raise inf + -inf),
+            # and those lanes are already rejected by the |det| term — the
+            # NaN comparisons evaluate False either way
+            hit = (
+                (np.abs(det) > 1e-14)
+                & (u >= -B_EPS)
+                & (v >= -B_EPS)
+                & (u + v <= 1 + B_EPS)
+                & (t > T_EPS)
+            )
         t = np.where(hit, t, np.inf)
         j = np.argmin(t, axis=1)
         rows = np.arange(t.shape[0])
