@@ -68,6 +68,74 @@ def map_eigenfunctions_p2p(
     return mapped.astype(np.float32)
 
 
+def check_source_basis_matches_trained(
+    E_src_full, trained_features, k, rescale_strategy="standard", atol=1e-4
+):
+    """Fail loudly on the degenerate-shell trap: the supplied full source
+    basis must be the EXACT basis the model was trained on (constant column
+    spliced in front), not an independent re-solve.
+
+    Why this matters: near-symmetric shapes have degenerate eigenvalue shells
+    whose eigenvectors an independent solve rotates arbitrarily (even a lone
+    sign flip is the 1-D case). The functional map then aligns the target to
+    the WRONG frame and the trained MLP reads rotated features — a silent
+    ~15 dB render (the direct-swap control row in RESULTS.md). The cheap
+    invariant: identity self-transfer of the supplied basis — i.e. selecting
+    the model's k columns (skipping the constant) and rescaling — must
+    reproduce the features the model was trained on, bit-near-exactly.
+
+    Args:
+      E_src_full: [V, kfull] unrescaled source basis incl. constant column.
+      trained_features: [V, k'] the features the model trains/renders with
+        (load_first_k_eigenfunctions of the config's eigenfunctions_path).
+      k: int or index list, as in the model config (indices into the
+        non-constant functions).
+      rescale_strategy: the config's data.rescale_strategy; the check only
+        makes sense for "standard" (the transfer path itself range-rescales).
+    Raises ValueError with the splice recipe on mismatch.
+    """
+    from ..spectral.features import postprocess_eigenfunctions
+
+    E_src_full = np.asarray(E_src_full)
+    trained = np.asarray(trained_features, dtype=np.float32)
+    if E_src_full.shape[0] != trained.shape[0]:
+        raise ValueError(
+            f"--source_efuncs_full has {E_src_full.shape[0]} vertices but the "
+            f"trained features have {trained.shape[0]} — wrong source mesh/basis."
+        )
+    if isinstance(k, list):
+        idx = np.asarray(k) + 1  # +1: skip the constant column
+    else:
+        idx = np.arange(1, int(k) + 1)
+    if int(idx.max()) >= E_src_full.shape[1]:
+        raise ValueError(
+            f"--source_efuncs_full has only {E_src_full.shape[1]} columns but "
+            f"the model uses eigenfunction index {int(idx.max()) - 1} "
+            "(constant-including index "
+            f"{int(idx.max())}) — basis too small."
+        )
+    ours = postprocess_eigenfunctions(
+        E_src_full[:, idx], rescale_strategy=rescale_strategy
+    )
+    scale = max(float(np.max(np.abs(trained))), 1e-12)
+    err = float(np.max(np.abs(ours - trained))) / scale
+    if err > atol:
+        col = int(np.argmax(np.max(np.abs(ours - trained), axis=0)))
+        raise ValueError(
+            "--source_efuncs_full is NOT the basis the model was trained on "
+            f"(max relative mismatch {err:.3e} at selected column {col}; "
+            f"tolerance {atol:g}). An independently re-solved basis rotates "
+            "eigenvectors inside degenerate eigenvalue shells (sign flips are "
+            "the 1-D case), so the functional map would align the target to a "
+            "rotated frame and the render silently degrades. Fix: splice the "
+            "TRAINED basis — prepend the constant eigenfunction to the exact "
+            "array at the config's data.eigenfunctions_path (like the "
+            "reference's texture_transfer_cat_tosca2.ipynb cell 4, or "
+            "tools/make_transfer_targets.py, which writes both sides in this "
+            "format) instead of re-running the eigensolver."
+        )
+
+
 def get_remapped_efuncs_with_fm_gt(E_source, M_source, E_target, rescale=True):
     """Ground-truth functional map variant (reference mesh.py:590-605):
     C = E_src^T M_src E_tgt; mapped = E_src @ C, range-rescaled. Both inputs

@@ -136,6 +136,53 @@ def test_fm_transfer_mid_scale_degenerate_shells():
     assert err_swap > 5 * err_fm, (err_swap, err_fm)
 
 
+def test_source_basis_guard_catches_independent_resolve():
+    """The texture_transfer.py runtime guard (VERDICT r3 #6): the exact
+    trained basis (constant spliced in front) passes; an independently
+    re-solved basis — simulated by rotating one degenerate shell and by a
+    lone sign flip — raises a ValueError naming the splice recipe instead of
+    producing a silent ~15 dB render."""
+    from intrinsic_neural_fields_tpu.transfer import (
+        check_source_basis_matches_trained,
+    )
+
+    mesh = icosphere(3)
+    k = 15  # spans the degenerate l=1..3 shells of the sphere spectrum
+    E_full = _full_basis(mesh, k + 2)
+    trained = postprocess_eigenfunctions(E_full[:, 1 : k + 1])
+
+    # Exact spliced basis: passes (extra trailing columns are fine).
+    check_source_basis_matches_trained(E_full, trained, k)
+
+    # Index-list selection passes too.
+    idx = [0, 2, 5, 9]
+    trained_list = postprocess_eigenfunctions(E_full[:, np.asarray(idx) + 1])
+    check_source_basis_matches_trained(E_full, trained_list, idx)
+
+    # Degenerate-shell rotation (what an independent eigensolve does): the
+    # l=1 shell lives in constant-including columns 1..3.
+    th = 0.7
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]
+    )
+    E_rot = E_full.copy()
+    E_rot[:, 1:4] = E_rot[:, 1:4] @ R
+    with pytest.raises(ValueError, match="splice"):
+        check_source_basis_matches_trained(E_rot, trained, k)
+
+    # A lone sign flip (the 1-D rotation) must also be caught.
+    E_flip = E_full.copy()
+    E_flip[:, 7] *= -1.0
+    with pytest.raises(ValueError, match="splice"):
+        check_source_basis_matches_trained(E_flip, trained, k)
+
+    # Wrong vertex count / too-small basis give targeted errors.
+    with pytest.raises(ValueError, match="vertices"):
+        check_source_basis_matches_trained(E_full[:-1], trained, k)
+    with pytest.raises(ValueError, match="too small"):
+        check_source_basis_matches_trained(E_full[:, : k - 3], trained, k)
+
+
 def test_transfer_target_correspondences():
     """Icosphere subdivision keeps parent vertices as an exact prefix, and the
     blob bump is per-vertex — the experiment's coarse/dense correspondences

@@ -97,6 +97,26 @@ def build_transferred_renderer(config, target_mesh_path, source_efuncs_full,
     corr = load_correspondence(correspondence) if isinstance(
         correspondence, str) else np.asarray(correspondence)
 
+    # Guard against the degenerate-shell trap this file's IMPORTANT note
+    # documents: verify the supplied full basis actually reproduces the
+    # trained features under identity selection before any rendering happens.
+    # Only the plain-efuncs / standard-rescale path is checkable (descriptor
+    # embeddings and other rescales never go through this CLI's map).
+    if (config["model"].get("feature_strategy", "efuncs") == "efuncs"
+            and config["data"].get("embed_strategy") is None
+            and config["data"].get("rescale_strategy", "standard") == "standard"):
+        from intrinsic_neural_fields_tpu.spectral.features import (
+            load_first_k_eigenfunctions,
+        )
+        from intrinsic_neural_fields_tpu.transfer import (
+            check_source_basis_matches_trained,
+        )
+
+        trained = load_first_k_eigenfunctions(
+            config["data"]["eigenfunctions_path"], k
+        )
+        check_source_basis_matches_trained(E_src_full, trained, k)
+
     mapped = map_eigenfunctions_p2p(E_src_full, E_tgt_full, M_tgt, corr, k)
 
     renderer = make_renderer_with_trained_model(config)
