@@ -1,0 +1,447 @@
+"""Projective-binning first-hit tracer for pinhole ray bundles, TPU-native.
+
+The tiled cone-culling tracer (ops/intersect.py) is ray-driven: every
+1024-ray packet searches face tiles whose bounding sphere crosses its
+bounding cone — ~20 visits of 256 faces per packet at cat scale (512^2 view,
+82k faces, RESULTS.md). For PINHOLE bundles (one shared origin — every
+full-view render and every preprocessing trace) there is a much tighter,
+rasterization-style candidate set: a ray through pixel coordinate (u, v) can
+only hit faces whose image-plane projection covers (u, v). This module bins
+faces to 32px screen tiles ON DEVICE (static shapes throughout — no
+pointer-chasing BVH, no variable-length lists):
+
+  1. project every face into the view (camera-space transform + pinhole
+     projection, f32 VPU math), take its conservative pixel-space AABB,
+  2. emit up to 2x2 (tile) entries per face; faces that are degenerate for
+     binning — any vertex at/behind the camera plane, or a projected span
+     wider than 2x2 tiles — go to an exact OVERFLOW segment instead (sized
+     F, so nothing is ever dropped: the worst case degrades to the
+     brute-force sweep, it never loses hits),
+  3. sort entries by (tile Morton id, quantized camera-space depth) — ONE
+     jnp.argsort — and gather the per-face hit data into entry order, so a
+     tile's candidates are one contiguous, front-to-back slice,
+  4. each ray packet (Z-ordered pixels => a packet spans a contiguous tile
+     Morton range) walks only its own slice in depth order, with the same
+     per-(ray,face) dual-basis arithmetic as ops/intersect.py — bit-identical
+     per-pair results — skipping chunks whose depth lower bound can no longer
+     beat any ray's current best (occlusion early-exit: the back half of a
+     closed surface is never visited).
+
+Measured candidate load per packet at cat scale is ~2-4 chunks of 256 vs the
+cone tracer's ~20 (tools/trace_raster.py) — the "phase two" traversal
+structure SURVEY §7.3 deferred, realized as data-parallel binning instead of
+a divergent per-ray BVH walk (which the TPU's lockstep 8x128 lanes punish).
+
+Reference role: Embree's first-hit query (reference mesh.py:111-117,211-215).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .intersect import (
+    B_EPS,
+    T_EPS,
+    Hits,
+    _precompute_face_data,
+)
+
+_Z_BITS = 14                 # depth-quantization bits inside the sort key
+_ZQ_MAX = (1 << _Z_BITS) - 1
+_Z_NEAR = 1e-6               # camera-plane epsilon: nearer/behind -> overflow
+
+
+def _interleave2(x, y):
+    """Morton-interleave two int32 arrays (16 significant bits each)."""
+
+    def spread(v):
+        v = v & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def _morton2_host(x, y):
+    """Host mirror of _interleave2 for static shape computation."""
+    out = 0
+    for b in range(16):
+        out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def _dot3t(X, Yt):
+    """[r,3] x [3,f] -> [r,f] explicit FMA contraction (full f32 on the VPU;
+    same op order as ops/intersect._dot3; agrees with the cone tracer
+    per pair to ~1 ulp — FMA contraction may differ between the graphs)."""
+    return (
+        X[:, 0:1] * Yt[0][None, :]
+        + X[:, 1:2] * Yt[1][None, :]
+        + X[:, 2:3] * Yt[2][None, :]
+    )
+
+
+class _BinTables(NamedTuple):
+    """Per-view binning tables (all shapes static in F and the tile grid)."""
+
+    ed_t: jnp.ndarray      # [12, Etot] transposed entry hit data:
+                           #   rows 0:3 n, 3:6 a, 6:9 b, 9 tnum, 10 oa, 11 ob
+    ed_rows: jnp.ndarray   # [Etot, 12] row-major copy (winner re-gather)
+    efid: jnp.ndarray      # [Etot] i32 sorted-face ids per entry
+    offsets: jnp.ndarray   # [T_ids+1] i32 entry segment bounds per tile id
+    czmin_e: jnp.ndarray   # [Ce] f32 per-aligned-chunk depth lower bound
+    czmin_o: jnp.ndarray   # [Co] f32 (ascending) for the overflow segment
+    o_chunks: jnp.ndarray  # scalar i32: occupied overflow chunks
+    e_pad: int             # static: overflow segment base index in ed_t
+    scene_min: jnp.ndarray  # [3] f32 scene AABB (per-ray search cap)
+    scene_max: jnp.ndarray  # [3]
+
+
+def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
+               W, H, tile_px, chunk):
+    """Build the per-view binning tables. cmin/cmax: [2] f32 hulls of the ray
+    pixel coordinates (conservative drop bounds for off-screen faces)."""
+    Tx = -(-W // tile_px)
+    Ty = -(-H // tile_px)
+    T_ids = _morton2_host(Tx - 1, Ty - 1) + 1
+    assert T_ids * (1 << _Z_BITS) < 2 ** 31, (
+        f"tile-id key space overflow: {Tx}x{Ty} tiles"
+    )
+
+    F = faces.shape[0]
+    fd = _precompute_face_data(vertices, faces)
+    o = camCv2world[:3, 3]
+    R = camCv2world[:3, :3]
+
+    # Shared-origin hoists — identical expressions to ops/intersect.py's
+    # shared_origin branch so the traversal's per-pair f32 arithmetic matches
+    # the cone tracer to ~1 ulp (FMA contraction is the only slack).
+    tnum = fd.c - (fd.n[:, 0] * o[0] + fd.n[:, 1] * o[1] + fd.n[:, 2] * o[2])
+    oa = (fd.a[:, 0] * o[0] + fd.a[:, 1] * o[1] + fd.a[:, 2] * o[2]) - fd.a0
+    ob = (fd.b[:, 0] * o[0] + fd.b[:, 1] * o[1] + fd.b[:, 2] * o[2]) - fd.b0
+    packed = jnp.concatenate(
+        [fd.n, fd.a, fd.b, tnum[:, None], oa[:, None], ob[:, None]], axis=1
+    )  # [F,12]
+
+    # Camera-space vertices of each face: q = R^T (p - o).
+    tri = jnp.take(vertices, faces.reshape(-1), axis=0).reshape(F, 3, 3)
+    rel = tri - o[None, None, :]
+    qx = rel[..., 0] * R[0, 0] + rel[..., 1] * R[1, 0] + rel[..., 2] * R[2, 0]
+    qy = rel[..., 0] * R[0, 1] + rel[..., 1] * R[1, 1] + rel[..., 2] * R[2, 1]
+    qz = rel[..., 0] * R[0, 2] + rel[..., 1] * R[1, 2] + rel[..., 2] * R[2, 2]
+
+    zmin = jnp.min(qz, axis=1)                       # [F] depth lower bound
+    frontal = zmin > _Z_NEAR                         # else -> overflow
+
+    # Pinhole projection (guarded z: frontal==False rows are discarded).
+    zs = jnp.maximum(qz, _Z_NEAR)
+    u = (K[0, 0] * qx + K[0, 1] * qy) / zs + K[0, 2]
+    v = (K[1, 1] * qy) / zs + K[1, 2]
+    umin = jnp.min(u, axis=1)
+    umax = jnp.max(u, axis=1)
+    vmin = jnp.min(v, axis=1)
+    vmax = jnp.max(v, axis=1)
+    # Conservative margin: sub-pixel slack for B_EPS/f32 rounding, scaled by
+    # the projected extent and coordinate magnitude.
+    ext = jnp.maximum(umax - umin, vmax - vmin)
+    mag = jnp.maximum(jnp.abs(umax), jnp.abs(vmax))
+    margin = 1.5 + 1e-4 * ext + 1e-5 * mag
+    umin, umax = umin - margin, umax + margin
+    vmin, vmax = vmin - margin, vmax + margin
+
+    # Faces fully outside the ray-coordinate hull can never be hit by a
+    # pixel ray of this bundle (margin already applied).
+    onscreen = (
+        (umax >= cmin[0]) & (umin <= cmax[0])
+        & (vmax >= cmin[1]) & (vmin <= cmax[1])
+    )
+
+    inv_t = 1.0 / tile_px
+    tx0 = jnp.clip(jnp.floor(umin * inv_t).astype(jnp.int32), 0, Tx - 1)
+    tx1 = jnp.clip(jnp.floor(umax * inv_t).astype(jnp.int32), 0, Tx - 1)
+    ty0 = jnp.clip(jnp.floor(vmin * inv_t).astype(jnp.int32), 0, Ty - 1)
+    ty1 = jnp.clip(jnp.floor(vmax * inv_t).astype(jnp.int32), 0, Ty - 1)
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+
+    binnable = fd.ok & frontal & (span_x <= 2) & (span_y <= 2)
+    overflow = fd.ok & onscreen & ~binnable
+    emit = binnable & onscreen
+
+    # Depth quantization (lower-bound preserving: dequantized floor <= z).
+    big = jnp.float32(np.inf)
+    zmn = jnp.min(jnp.where(fd.ok & onscreen, zmin, big))
+    zmx = jnp.max(jnp.where(fd.ok & onscreen, zmin, -big))
+    zmn = jnp.minimum(zmn, zmx)  # both inf when nothing visible
+    step = jnp.maximum((zmx - zmn) / _ZQ_MAX, 1e-30)
+    zq = jnp.clip(((zmin - zmn) / step).astype(jnp.int32), 0, _ZQ_MAX)
+    zfloor = zmn + zq.astype(jnp.float32) * step  # <= zmin <= any hit t
+
+    invalid_key = jnp.int32(T_ids << _Z_BITS)
+
+    # Up to 2x2 entries per face, flattened [F,4] slot-major.
+    keys = []
+    for sy in range(2):
+        for sx in range(2):
+            tid = _interleave2(
+                jnp.minimum(tx0 + sx, tx1), jnp.minimum(ty0 + sy, ty1)
+            )
+            ok_slot = emit & (sx < span_x) & (sy < span_y)
+            keys.append(
+                jnp.where(ok_slot, (tid << _Z_BITS) | zq, invalid_key)
+            )
+    keys = jnp.stack(keys, axis=1).reshape(-1)  # [4F]
+
+    order = jnp.argsort(keys)
+    sorted_keys = jnp.take(keys, order)
+    entry_fid = (order // 4).astype(jnp.int32)
+    valid_e = sorted_keys < invalid_key
+
+    E = 4 * F
+    Ep = -(-E // chunk) * chunk
+    pad_e = Ep - E
+
+    ed_e = jnp.where(valid_e[:, None], jnp.take(packed, entry_fid, axis=0), 0.0)
+    ez_e = jnp.where(valid_e, jnp.take(zfloor, entry_fid), big)
+    if pad_e:
+        ed_e = jnp.pad(ed_e, ((0, pad_e), (0, 0)))
+        ez_e = jnp.pad(ez_e, ((0, pad_e),), constant_values=np.inf)
+        entry_fid = jnp.pad(entry_fid, ((0, pad_e),))
+
+    # Segment bounds per tile id over the sorted keys.
+    bounds = (jnp.arange(T_ids + 1, dtype=jnp.int32) << _Z_BITS)
+    offsets = jnp.searchsorted(sorted_keys, bounds, side="left").astype(jnp.int32)
+
+    # Overflow segment: z-sorted (ascending => exact monotone early-exit).
+    okey = jnp.where(overflow, zq, jnp.int32(1 << 30))
+    oorder = jnp.argsort(okey).astype(jnp.int32)
+    o_count = jnp.sum(overflow.astype(jnp.int32))
+    Op = -(-F // chunk) * chunk
+    pad_o = Op - F
+    rank = jnp.arange(F, dtype=jnp.int32)
+    valid_o = rank < o_count
+    ed_o = jnp.where(valid_o[:, None], jnp.take(packed, oorder, axis=0), 0.0)
+    ez_o = jnp.where(valid_o, jnp.take(zfloor, oorder), big)
+    if pad_o:
+        ed_o = jnp.pad(ed_o, ((0, pad_o), (0, 0)))
+        ez_o = jnp.pad(ez_o, ((0, pad_o),), constant_values=np.inf)
+        oorder = jnp.pad(oorder, ((0, pad_o),))
+    o_chunks = (o_count + chunk - 1) // chunk
+
+    ed_rows = jnp.concatenate([ed_e, ed_o], axis=0)          # [Etot,12]
+    ed_t = ed_rows.T                                          # [12,Etot]
+    efid = jnp.concatenate([entry_fid, oorder], axis=0)
+
+    czmin_e = ez_e.reshape(-1, chunk).min(axis=1)
+    czmin_o = ez_o.reshape(-1, chunk).min(axis=1)
+
+    # Scene AABB over real vertices (per-ray search cap, as in intersect.py).
+    scene_min = jnp.min(vertices, axis=0)
+    scene_max = jnp.max(vertices, axis=0)
+
+    return _BinTables(
+        ed_t=ed_t, ed_rows=ed_rows, efid=efid, offsets=offsets,
+        czmin_e=czmin_e, czmin_o=czmin_o, o_chunks=o_chunks, e_pad=Ep,
+        scene_min=scene_min, scene_max=scene_max,
+    )
+
+
+def _traverse(tables, origins, dirs, coords, *, ray_tile, chunk, tile_px,
+              t_max, Tx, Ty):
+    """Walk each packet's tile-span entries + the overflow segment."""
+    inf = jnp.float32(np.inf)
+    R = origins.shape[0]
+    n_e_chunks = tables.e_pad // chunk
+    Co = tables.czmin_o.shape[0]
+
+    def do_chunk(s, d, carry):
+        best_t, best_e = carry
+        EDc = lax.dynamic_slice(tables.ed_t, (0, s), (12, chunk))
+        dn = _dot3t(d, EDc[0:3])
+        dA = _dot3t(d, EDc[3:6])
+        dB = _dot3t(d, EDc[6:9])
+        t = EDc[9][None, :] / dn
+        u = EDc[10][None, :] + t * dA
+        v = EDc[11][None, :] + t * dB
+        hit = (
+            (jnp.abs(dn) > 1e-12)
+            & (t > T_EPS)
+            & (t < t_max)
+            & (u >= -B_EPS)
+            & (v >= -B_EPS)
+            & (u + v <= 1.0 + B_EPS)
+        )
+        tm = jnp.where(hit, t, inf)
+        t_c = jnp.min(tm, axis=1)
+        best = tm == t_c[:, None]
+        cols = lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+        j = jnp.min(jnp.where(best, cols, chunk), axis=1)
+        better = t_c < best_t
+        best_t = jnp.where(better, t_c, best_t)
+        best_e = jnp.where(better, s + j, best_e)
+        return best_t, best_e
+
+    def per_packet(args):
+        o, d, cxy = args  # [rt,3], [rt,3], [rt,2]
+        rt = o.shape[0]
+
+        # Clamp to the grid exactly like the face bins do (_bin_faces clips
+        # tx0/tx1 to [0, Tx-1]): a coordinate outside [0, W)x[0, H) — e.g. a
+        # Meshroom-undistorted pixel — must land in the same border tile as
+        # the faces it can hit, or its binned candidates would be skipped.
+        tx = jnp.clip((cxy[:, 0] / tile_px).astype(jnp.int32), 0, Tx - 1)
+        ty = jnp.clip((cxy[:, 1] / tile_px).astype(jnp.int32), 0, Ty - 1)
+        tid = _interleave2(tx, ty)
+        tmin = jnp.min(tid)
+        tmax = jnp.max(tid)
+        e0 = tables.offsets[tmin]
+        e1 = tables.offsets[tmax + 1]
+        c0 = e0 // chunk
+        c1 = jnp.minimum((e1 + chunk - 1) // chunk, n_e_chunks)
+
+        # Per-ray search cap: scene-AABB exit distance (see intersect.py).
+        d_safe = jnp.where(
+            jnp.abs(d) > 1e-12, d, jnp.where(d < 0, -1e-12, 1e-12)
+        )
+        t1 = (tables.scene_min[None, :] - o) / d_safe
+        t2 = (tables.scene_max[None, :] - o) / d_safe
+        t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        in_box = t_far >= jnp.maximum(t_near, 0.0)
+        t_cap = jnp.where(in_box, t_far * (1 + 1e-5) + 1e-4, -inf)
+
+        init = (jnp.full((rt,), inf), jnp.full((rt,), -1, jnp.int32))
+
+        def frontier(carry):
+            return jnp.max(jnp.minimum(carry[0], t_cap))
+
+        # Entry span: chunks visited in (tile, depth) order. The span can mix
+        # tiles (masked renders), so per-chunk depth bounds are not monotone
+        # within it — chunks that can't improve are SKIPPED (lax.cond pays
+        # only branch overhead), not used as a stop condition.
+        def e_cond(state):
+            k, _ = state
+            return k < c1
+
+        def e_body(state):
+            k, carry = state
+            carry = lax.cond(
+                tables.czmin_e[jnp.minimum(k, n_e_chunks - 1)] < frontier(carry),
+                lambda c: do_chunk(k * chunk, d, c),
+                lambda c: c,
+                carry,
+            )
+            return k + 1, carry
+
+        _, carry = lax.while_loop(e_cond, e_body, (c0, init))
+
+        # Overflow segment: globally depth-ascending => exact early exit.
+        def o_cond(state):
+            k, carry = state
+            return (k < tables.o_chunks) & (tables.czmin_o[jnp.minimum(k, Co - 1)] < frontier(carry))
+
+        def o_body(state):
+            k, carry = state
+            return k + 1, do_chunk(tables.e_pad + k * chunk, d, carry)
+
+        _, carry = lax.while_loop(o_cond, o_body, (jnp.int32(0), carry))
+        return carry
+
+    Rp = -(-R // ray_tile) * ray_tile
+    pad = Rp - R
+    o_t = jnp.pad(origins, ((0, pad), (0, 0)), mode="edge").reshape(-1, ray_tile, 3)
+    d_t = jnp.pad(dirs, ((0, pad), (0, 0)), mode="edge").reshape(-1, ray_tile, 3)
+    c_t = jnp.pad(coords, ((0, pad), (0, 0)), mode="edge").reshape(-1, ray_tile, 2)
+
+    best_t, best_e = lax.map(per_packet, (o_t, d_t, c_t))
+    return best_t.reshape(-1)[:R], best_e.reshape(-1)[:R]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "H", "tile_px", "ray_tile", "chunk", "t_max"),
+)
+def intersect_coords_pinhole(
+    vertices,
+    faces,
+    camCv2world,
+    K,
+    coords,
+    *,
+    W,
+    H,
+    tile_px: int = 32,
+    ray_tile: int = 1024,
+    chunk: int = 256,
+    t_max: float = np.inf,
+):
+    """Nearest-hit trace of the pinhole rays through pixel `coords` [L,2].
+
+    Drop-in alternative to intersect_rays(shared_origin=True) for camera
+    bundles: rays are generated internally (ray_gen.ray_origins_and_directions
+    semantics), the candidate set comes from on-device projective binning.
+    W/H are static (they size the tile grid); pass the image dims the coords
+    were generated for. Per-(ray, face) arithmetic evaluates the cone
+    tracer's exact formulas; hits agree to ~1 ulp (FMA contraction may
+    differ between graphs) and face ids match except on exact t ties
+    (measure-zero), where the visit order differs.
+
+    Returns a dense Hits (t in unit-direction parameterization, like
+    intersect_rays given unit dirs).
+    """
+    from .ray_gen import ray_origins_and_directions
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    camCv2world = jnp.asarray(camCv2world, jnp.float32)[:3, :4]
+    K = jnp.asarray(K, jnp.float32)[:3, :3]
+    coords = jnp.asarray(coords, jnp.float32)
+
+    origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
+    # intersect_rays defensively re-normalizes its (already unit) input dirs
+    # and converts t back; replicate the exact same ops so per-pair f32
+    # results track the cone tracer to ~1 ulp.
+    dir_norm = jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    dirs = dirs / dir_norm
+
+    cmin = jnp.min(coords, axis=0)
+    cmax = jnp.max(coords, axis=0)
+    tables = _bin_faces(
+        vertices, faces, camCv2world, K, cmin, cmax, W, H, tile_px, chunk
+    )
+    best_t, best_e = _traverse(
+        tables, origins, dirs, coords,
+        ray_tile=ray_tile, chunk=chunk, tile_px=tile_px, t_max=t_max,
+        Tx=-(-W // tile_px), Ty=-(-H // tile_px),
+    )
+
+    valid = jnp.isfinite(best_t)
+    se = jnp.where(valid, best_e, 0)
+    face_idx = jnp.where(valid, jnp.take(tables.efid, se), -1)
+
+    # Winner (u,v) recomputed from the winning entry's packed row — same
+    # inputs, same f32 op order as the chunk body => same values (~ulp).
+    G = jnp.take(tables.ed_rows, se, axis=0)  # [R,12]
+    A, B = G[:, 3:6], G[:, 6:9]
+    dA = dirs[:, 0] * A[:, 0] + dirs[:, 1] * A[:, 1] + dirs[:, 2] * A[:, 2]
+    dB = dirs[:, 0] * B[:, 0] + dirs[:, 1] * B[:, 1] + dirs[:, 2] * B[:, 2]
+    tsafe = jnp.where(valid, best_t, 0.0)
+    best_u = jnp.clip(jnp.where(valid, G[:, 10] + tsafe * dA, 0.0), 0.0, 1.0)
+    best_v = jnp.clip(jnp.where(valid, G[:, 11] + tsafe * dB, 0.0), 0.0, 1.0)
+    bary = jnp.stack([1.0 - best_u - best_v, best_u, best_v], axis=-1)
+    bary = jnp.clip(bary, 0.0, 1.0)
+    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
+    return Hits(
+        t=best_t / dir_norm.reshape(-1),
+        face_idx=face_idx,
+        bary=bary.astype(jnp.float32),
+        valid=valid,
+    )

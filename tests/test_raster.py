@@ -1,0 +1,209 @@
+"""Projective-binning pinhole tracer (ops/raster.py) parity tests.
+
+The contract: intersect_coords_pinhole evaluates the SAME per-(ray,face)
+formulas as the cone tracer (intersect_rays shared_origin=True), so hits
+must agree to ~1 ulp — the only slack is where the compiler contracts the
+multiply-add chains into FMAs differently for the two graphs. Tests assert:
+identical valid masks up to a vanishing boundary-flip rate, t to 1e-5
+relative, face ids equal except on exact-tie edges (where hit POINTS must
+still agree), and barycentrics to ~1 ulp of the clip.
+Covers: full views, masked/Z-ordered subsets (the renderer's actual call
+pattern), low-poly meshes where every face overflows the 2x2-tile span cap,
+behind-camera geometry (camera inside the mesh), off-center framing,
+non-square and non-power-of-two resolutions, and degenerate faces.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from intrinsic_neural_fields_tpu.geometry.primitives import icosphere
+from intrinsic_neural_fields_tpu.ops import (
+    hit_points_xyz,
+    intersect_rays,
+    pixel_grid_coords,
+    ray_origins_and_directions,
+)
+from intrinsic_neural_fields_tpu.ops.morton import (
+    face_morton_order,
+    pixel_morton_order,
+)
+from intrinsic_neural_fields_tpu.ops.raster import intersect_coords_pinhole
+
+from tests.test_intersect import _look_at_cam, _simple_K
+
+
+def _compare(mesh, cam, K, coords, H, W, require_hits=True, **kw):
+    o, d = ray_origins_and_directions(cam, K, coords)
+    ref = intersect_rays(mesh.vertices, mesh.faces, o, d, shared_origin=True)
+    got = intersect_coords_pinhole(
+        mesh.vertices, mesh.faces, cam, K, coords, W=W, H=H, **kw
+    )
+    ref_v = np.asarray(ref.valid)
+    got_v = np.asarray(got.valid)
+    # ulp-level u/v noise can flip a hit only within ~1 ulp of the B_EPS
+    # boundary — vanishing measure.
+    assert (ref_v != got_v).mean() < 1e-3, (ref_v != got_v).mean()
+    if require_hits:
+        assert ref_v.any()
+    both = ref_v & got_v
+    np.testing.assert_allclose(
+        np.asarray(got.t)[both], np.asarray(ref.t)[both], rtol=1e-5, atol=1e-6
+    )
+    f_ref = np.asarray(ref.face_idx)[both]
+    f_got = np.asarray(got.face_idx)[both]
+    same_face = f_ref == f_got
+    assert same_face.mean() > 0.999, same_face.mean()
+    if not same_face.all():
+        # exact-t ties along shared edges may pick either face; the hit
+        # points must coincide
+        sel = ~same_face
+        p_ref = np.einsum(
+            "bj,bjk->bk",
+            np.asarray(ref.bary)[both][sel],
+            np.asarray(mesh.vertices)[np.asarray(mesh.faces)[f_ref[sel]]],
+        )
+        p_got = np.einsum(
+            "bj,bjk->bk",
+            np.asarray(got.bary)[both][sel],
+            np.asarray(mesh.vertices)[np.asarray(mesh.faces)[f_got[sel]]],
+        )
+        np.testing.assert_allclose(p_got, p_ref, atol=2e-4)
+    # ~1 ulp of t is amplified by the dual-basis row magnitude (u = oa + t*dA
+    # with |dA| ~ 1/edge), so bary noise scales with triangle fineness; 2e-4
+    # is the same tolerance class the f64-oracle tests use for hit points.
+    np.testing.assert_allclose(
+        np.asarray(got.bary)[both][same_face],
+        np.asarray(ref.bary)[both][same_face],
+        atol=2e-4,
+    )
+    return ref, got
+
+
+def _sorted_blob(subdiv):
+    m = icosphere(subdiv)
+    v = np.asarray(m.vertices)
+    r = 1.0 + 0.15 * (np.sin(3 * v[:, 0]) * np.cos(2 * v[:, 1]))
+    m.vertices = (v * r[:, None]).astype(np.float64)
+    m._cache.clear()
+    m.faces = m.faces[face_morton_order(m.vertices, m.faces)]
+    return m
+
+
+def test_full_view_matches_cone_tracer():
+    m = _sorted_blob(4)
+    H = W = 128
+    cam = _look_at_cam(np.array([0.4, -2.7, 0.9]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    _compare(m, cam, K, coords, H, W)
+
+
+def test_masked_morton_subset():
+    """The renderer traces a Z-ordered masked subset padded by edge-repeat;
+    packets then span multiple screen tiles."""
+    m = _sorted_blob(4)
+    H = W = 128
+    cam = _look_at_cam(np.array([0.0, -2.5, 0.4]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    rng = np.random.default_rng(0)
+    mask = rng.uniform(size=coords.shape[0]) < 0.35
+    mask[: H * W // 2] |= rng.uniform(size=H * W // 2) < 0.4
+    sub = coords[mask]
+    sub = sub[pixel_morton_order(sub)]
+    pad = -(-sub.shape[0] // 1024) * 1024 - sub.shape[0]
+    sub = np.pad(sub, ((0, pad), (0, 0)), mode="edge")
+    _compare(m, cam, K, sub, H, W)
+
+
+def test_low_poly_all_overflow():
+    """icosphere(1): 80 faces, each projecting far wider than 2x2 tiles —
+    everything lands in the overflow segment (the exact brute-force path)."""
+    m = icosphere(1)
+    m.faces = m.faces[face_morton_order(m.vertices, m.faces)]
+    H = W = 96
+    cam = _look_at_cam(np.array([0.0, -2.2, 0.0]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    _compare(m, cam, K, coords, H, W)
+
+
+def test_camera_inside_mesh():
+    """Faces behind/straddling the camera plane go to overflow; hits must
+    still match (every direction hits the enclosing sphere)."""
+    m = _sorted_blob(3)
+    H = W = 64
+    cam = _look_at_cam(np.array([0.2, -0.1, 0.05]), target=np.array([1.0, 0.0, 0.0]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    ref, _ = _compare(m, cam, K, coords, H, W)
+    assert np.asarray(ref.valid).all()
+
+
+def test_off_center_and_background_rays():
+    """Object in a corner of the frame: most rays miss (the scene-AABB cap
+    and empty tiles must not invent hits)."""
+    m = _sorted_blob(3)
+    H = W = 128
+    cam = _look_at_cam(np.array([2.0, -3.5, 1.8]), target=np.array([0.6, 0.6, -0.4]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    ref, _ = _compare(m, cam, K, coords, H, W)
+    v = np.asarray(ref.valid)
+    assert v.any() and (~v).any()
+
+
+def test_non_square_non_pow2():
+    m = _sorted_blob(3)
+    H, W = 96, 132
+    cam = _look_at_cam(np.array([0.3, -2.4, 0.5]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    _compare(m, cam, K, coords, H, W, ray_tile=512)
+
+
+def test_degenerate_faces_ignored():
+    m = _sorted_blob(3)
+    f = np.asarray(m.faces)
+    f = np.concatenate([f, np.array([[0, 0, 0], [3, 3, 7]], f.dtype)], axis=0)
+    m.faces = f
+    H = W = 64
+    cam = _look_at_cam(np.array([0.0, -2.5, 0.3]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    _compare(m, cam, K, coords, H, W)
+
+
+def test_coords_outside_grid():
+    """Undistorted pixel coordinates can land outside [0,W)x[0,H) (the
+    Meshroom radial-k3 render path). Rays must clamp into the same border
+    tile the face bins clip to — an unclamped tile id would silently skip
+    every binned candidate."""
+    m = _sorted_blob(3)
+    H = W = 96
+    cam = _look_at_cam(np.array([0.0, -2.0, 0.1]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W).astype(np.float32)
+    # Push coords past the border like a strong undistortion would: the rays
+    # then sample an expanded frustum while the tile grid stays WxH.
+    coords = (coords - (W - 1) / 2.0) * 1.25 + (W - 1) / 2.0
+    assert coords.min() < -1 and coords.max() > W
+    coords = coords[pixel_morton_order(np.clip(coords, 0, W - 1))]
+    ref, got = _compare(m, cam, K, coords, H, W)
+    assert np.asarray(ref.valid).any()
+
+
+def test_zoomed_in_spans_overflow():
+    """A close-up camera makes faces project wider than the 2x2-tile cap,
+    mixing binned and overflow faces in one view."""
+    m = _sorted_blob(4)
+    H = W = 128
+    cam = _look_at_cam(np.array([0.0, -1.25, 0.0]))
+    K = _simple_K(H, W, f=2.5)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    _compare(m, cam, K, coords, H, W)

@@ -27,6 +27,11 @@ model_last_epoch.pt, and history.json with the per-epoch train/val loss+PSNR
 curves. Afterwards convert with tools/convert_reference_checkpoint.py and
 evaluate both checkpoints through eval.py on the same test views.
 
+checkpoint.pt (model+optim+RNG states, reference trainer.py:302-313 contract)
+is written every --checkpoint_every epochs; --resume restores it and
+continues at epoch+1 with the exact RNG trajectory, so an interrupted run
+(this is a multi-hour single-core train) loses at most one interval.
+
 Usage:
   python tools/train_reference_torch.py configs/synthetic/intrinsic_blob_hq_klist.yaml \
       --out_dir out/reference_torch_hq_klist [--epochs N]
@@ -98,6 +103,9 @@ def main():
     p.add_argument("--epochs", type=int, default=None,
                    help="override config epochs (default: config value)")
     p.add_argument("--print_every", type=int, default=None)
+    p.add_argument("--checkpoint_every", type=int, default=10)
+    p.add_argument("--resume", action="store_true",
+                   help="restore out_dir/checkpoint.pt and continue")
     args = p.parse_args()
 
     config = load_config(args.config_path)
@@ -148,10 +156,24 @@ def main():
     last_path = os.path.join(args.out_dir, "model_last_epoch.pt")
     hist_path = os.path.join(args.out_dir, "history.json")
 
+    ckpt_path = os.path.join(args.out_dir, "checkpoint.pt")
     min_val_loss = 1.0  # reference trainer.py:236
     history = []
+    start_epoch = 0
+    if args.resume and os.path.exists(ckpt_path):
+        ckpt = torch.load(ckpt_path, weights_only=False)
+        model.load_state_dict(ckpt["model_state_dict"])
+        optim.load_state_dict(ckpt["optimizer_state_dict"])
+        torch.set_rng_state(ckpt["torch_rng_state"])
+        random.setstate(ckpt["py_rng_state"])
+        np.random.set_state(ckpt["np_rng_state"])
+        min_val_loss = ckpt["min_val_loss"]
+        history = ckpt["history"]
+        start_epoch = ckpt["epoch"] + 1
+        print(f"Resumed from {ckpt_path} at epoch {start_epoch}", flush=True)
+
     t_start = time.time()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         model.train()
         perm = torch.randperm(N)
         acc_loss = 0.0
@@ -218,6 +240,19 @@ def main():
             )
             with open(hist_path, "w") as f:
                 json.dump(history, f)
+        if (epoch + 1) % args.checkpoint_every == 0:
+            tmp = ckpt_path + ".tmp"
+            torch.save({
+                "epoch": epoch,
+                "model_state_dict": model.state_dict(),
+                "optimizer_state_dict": optim.state_dict(),
+                "torch_rng_state": torch.get_rng_state(),
+                "py_rng_state": random.getstate(),
+                "np_rng_state": np.random.get_state(),
+                "min_val_loss": min_val_loss,
+                "history": history,
+            }, tmp)
+            os.replace(tmp, ckpt_path)
 
     torch.save(model.state_dict(), last_path)
     with open(hist_path, "w") as f:
