@@ -7,3 +7,4 @@ from .intersect import (
     intersect_rays_numpy,
 )
 from .interpolate import interpolate_vertex_features, hit_points_xyz
+from .raster import intersect_coords_pinhole, intersect_coords_pinhole_core

@@ -365,6 +365,90 @@ def _traverse(tables, origins, dirs, coords, *, ray_tile, chunk, tile_px,
     return best_t.reshape(-1)[:R], best_e.reshape(-1)[:R]
 
 
+def intersect_coords_pinhole_core(
+    vertices,
+    faces,
+    camCv2world,
+    K,
+    coords,
+    *,
+    W,
+    H,
+    tile_px: int = 32,
+    ray_tile: int = 1024,
+    chunk: int = 256,
+    t_max: float = np.inf,
+    coord_hull=None,
+    return_dirs: bool = False,
+):
+    """Unjitted trace body (embed inside a caller's jit / shard_map).
+
+    coord_hull: optional [2,2] (cmin; cmax) override of the pixel-coordinate
+    hull used for conservative face culling. Under a sharded render each
+    device traces a coordinate SUBSET — passing the full view's hull keeps
+    the binning tables (and so tie-breaking on exact-t edges) identical
+    across shards, which is what makes the sharded render bit-equal to the
+    single-device one. The default computes the hull from `coords`.
+    return_dirs: also return the unit ray directions (renderers need them
+    for view-dependent models; they are generated here anyway).
+    """
+    from .ray_gen import ray_origins_and_directions
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    camCv2world = jnp.asarray(camCv2world, jnp.float32)[:3, :4]
+    K = jnp.asarray(K, jnp.float32)[:3, :3]
+    coords = jnp.asarray(coords, jnp.float32)
+
+    origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
+    # intersect_rays defensively re-normalizes its (already unit) input dirs
+    # and converts t back; replicate the exact same ops so per-pair f32
+    # results track the cone tracer to ~1 ulp.
+    dir_norm = jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    dirs = dirs / dir_norm
+
+    if coord_hull is None:
+        cmin = jnp.min(coords, axis=0)
+        cmax = jnp.max(coords, axis=0)
+    else:
+        coord_hull = jnp.asarray(coord_hull, jnp.float32)
+        cmin, cmax = coord_hull[0], coord_hull[1]
+    tables = _bin_faces(
+        vertices, faces, camCv2world, K, cmin, cmax, W, H, tile_px, chunk
+    )
+    best_t, best_e = _traverse(
+        tables, origins, dirs, coords,
+        ray_tile=ray_tile, chunk=chunk, tile_px=tile_px, t_max=t_max,
+        Tx=-(-W // tile_px), Ty=-(-H // tile_px),
+    )
+
+    valid = jnp.isfinite(best_t)
+    se = jnp.where(valid, best_e, 0)
+    face_idx = jnp.where(valid, jnp.take(tables.efid, se), -1)
+
+    # Winner (u,v) recomputed from the winning entry's packed row — same
+    # inputs, same f32 op order as the chunk body => same values (~ulp).
+    G = jnp.take(tables.ed_rows, se, axis=0)  # [R,12]
+    A, B = G[:, 3:6], G[:, 6:9]
+    dA = dirs[:, 0] * A[:, 0] + dirs[:, 1] * A[:, 1] + dirs[:, 2] * A[:, 2]
+    dB = dirs[:, 0] * B[:, 0] + dirs[:, 1] * B[:, 1] + dirs[:, 2] * B[:, 2]
+    tsafe = jnp.where(valid, best_t, 0.0)
+    best_u = jnp.clip(jnp.where(valid, G[:, 10] + tsafe * dA, 0.0), 0.0, 1.0)
+    best_v = jnp.clip(jnp.where(valid, G[:, 11] + tsafe * dB, 0.0), 0.0, 1.0)
+    bary = jnp.stack([1.0 - best_u - best_v, best_u, best_v], axis=-1)
+    bary = jnp.clip(bary, 0.0, 1.0)
+    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
+    hits = Hits(
+        t=best_t / dir_norm.reshape(-1),
+        face_idx=face_idx,
+        bary=bary.astype(jnp.float32),
+        valid=valid,
+    )
+    if return_dirs:
+        return hits, dirs
+    return hits
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("W", "H", "tile_px", "ray_tile", "chunk", "t_max"),
@@ -397,51 +481,8 @@ def intersect_coords_pinhole(
     Returns a dense Hits (t in unit-direction parameterization, like
     intersect_rays given unit dirs).
     """
-    from .ray_gen import ray_origins_and_directions
-
-    vertices = jnp.asarray(vertices, jnp.float32)
-    faces = jnp.asarray(faces, jnp.int32)
-    camCv2world = jnp.asarray(camCv2world, jnp.float32)[:3, :4]
-    K = jnp.asarray(K, jnp.float32)[:3, :3]
-    coords = jnp.asarray(coords, jnp.float32)
-
-    origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
-    # intersect_rays defensively re-normalizes its (already unit) input dirs
-    # and converts t back; replicate the exact same ops so per-pair f32
-    # results track the cone tracer to ~1 ulp.
-    dir_norm = jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
-    dirs = dirs / dir_norm
-
-    cmin = jnp.min(coords, axis=0)
-    cmax = jnp.max(coords, axis=0)
-    tables = _bin_faces(
-        vertices, faces, camCv2world, K, cmin, cmax, W, H, tile_px, chunk
-    )
-    best_t, best_e = _traverse(
-        tables, origins, dirs, coords,
-        ray_tile=ray_tile, chunk=chunk, tile_px=tile_px, t_max=t_max,
-        Tx=-(-W // tile_px), Ty=-(-H // tile_px),
-    )
-
-    valid = jnp.isfinite(best_t)
-    se = jnp.where(valid, best_e, 0)
-    face_idx = jnp.where(valid, jnp.take(tables.efid, se), -1)
-
-    # Winner (u,v) recomputed from the winning entry's packed row — same
-    # inputs, same f32 op order as the chunk body => same values (~ulp).
-    G = jnp.take(tables.ed_rows, se, axis=0)  # [R,12]
-    A, B = G[:, 3:6], G[:, 6:9]
-    dA = dirs[:, 0] * A[:, 0] + dirs[:, 1] * A[:, 1] + dirs[:, 2] * A[:, 2]
-    dB = dirs[:, 0] * B[:, 0] + dirs[:, 1] * B[:, 1] + dirs[:, 2] * B[:, 2]
-    tsafe = jnp.where(valid, best_t, 0.0)
-    best_u = jnp.clip(jnp.where(valid, G[:, 10] + tsafe * dA, 0.0), 0.0, 1.0)
-    best_v = jnp.clip(jnp.where(valid, G[:, 11] + tsafe * dB, 0.0), 0.0, 1.0)
-    bary = jnp.stack([1.0 - best_u - best_v, best_u, best_v], axis=-1)
-    bary = jnp.clip(bary, 0.0, 1.0)
-    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
-    return Hits(
-        t=best_t / dir_norm.reshape(-1),
-        face_idx=face_idx,
-        bary=bary.astype(jnp.float32),
-        valid=valid,
+    return intersect_coords_pinhole_core(
+        vertices, faces, camCv2world, K, coords,
+        W=W, H=H, tile_px=tile_px, ray_tile=ray_tile, chunk=chunk,
+        t_max=t_max,
     )

@@ -27,6 +27,7 @@ from ..geometry.mesh import load_mesh
 from ..ops.intersect import intersect_rays
 from ..ops.interpolate import interpolate_vertex_features
 from ..ops.morton import face_morton_order, pixel_morton_order
+from ..ops.raster import intersect_coords_pinhole_core
 from ..ops.ray_gen import pixel_grid_coords, ray_origins_and_directions
 
 _PAD_BUCKET = 1 << 15      # rays are padded to a multiple of this
@@ -51,12 +52,12 @@ class _PendingRender(NamedTuple):
 
 
 def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_devices=None,
-                                     wire_u8=False):
+                                     wire_u8=False, tracer="raster"):
     """Rebuild a Renderer from a training out_dir (reference renderer.py:9-32).
 
     n_devices: shard every render D-way over a device mesh (see Renderer's
     mesh_devices); None = single device. wire_u8: uint8 device->host color
-    transfers — for 8-bit sinks only (see Renderer)."""
+    transfers — for 8-bit sinks only (see Renderer). tracer: see Renderer."""
     from ..models.factory import init_model, make_model
     from ..spectral.features import load_first_k_eigenfunctions
     from ..utils.checkpoint import load_checkpoint
@@ -104,6 +105,7 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_device
         # gather of wide f32 rows is the renderer's slowest primitive —
         # tools/profile_infer.py).
         feature_dtype=config["data"].get("precompute_dtype"),
+        tracer=tracer,
     )
 
 
@@ -125,6 +127,7 @@ class Renderer:
         shard_axis="data",
         feature_dtype=None,
         wire_u8=False,
+        tracer="raster",
     ):
         """mesh_devices: optional jax.sharding.Mesh. When given, tracing and
         inference are shard_map'd over its `shard_axis`: every padded ray
@@ -132,7 +135,15 @@ class Renderer:
         features and weights replicate), so a full-view render runs D-way
         data-parallel over ICI (SURVEY §5 "shard the ray axis across chips").
         Per-ray math is unchanged — output is bit-equal to single-device
-        (tested). _PAD_BUCKET is a multiple of any power-of-two D."""
+        (tested). _PAD_BUCKET is a multiple of any power-of-two D.
+
+        tracer: "raster" (default) traces camera bundles with the
+        projective-binning tracer (ops/raster.py — ~1.8-3x less device time
+        per view than the cone tracer at cat scale); "cone" keeps the tiled
+        cone-culling tracer. Hit arithmetic is identical per (ray, face);
+        the paths differ only on exact-t ties (measure-zero)."""
+        assert tracer in ("raster", "cone"), tracer
+        self._tracer = tracer
         self._mesh = mesh_devices
         self._axis = shard_axis
         if mesh_devices is not None:
@@ -175,20 +186,32 @@ class Renderer:
         order = face_morton_order(self.mesh.vertices, self.mesh.faces)
         self._faces_sorted = jnp.asarray(self.mesh.faces[order])
         self._face_orig_ids = jnp.asarray(order.astype(np.int32))
+        if self._tracer == "raster":
+            # W/H are static for the raster tracer (they size its screen-tile
+            # grid), so the trace callables close over them and are rebuilt
+            # by set_height/set_width (which call _refresh_geometry).
+            trace_idx, trace_coords = (
+                self._trace_from_indices_raster, self._trace_from_coords_raster
+            )
+        else:
+            trace_idx, trace_coords = (
+                self._trace_from_indices, self._trace_from_coords
+            )
         if self._mesh is None:
-            self._trace_idx = jax.jit(self._trace_from_indices)
-            self._trace_coords = jax.jit(self._trace_from_coords)
+            self._trace_idx = jax.jit(trace_idx)
+            self._trace_coords = jax.jit(trace_coords)
             self._infer = jax.jit(self._infer_impl)
         else:
             Pd = P(self._axis)
             self._trace_idx = jax.jit(shard_map(
-                self._trace_from_indices, mesh=self._mesh,
+                trace_idx, mesh=self._mesh,
                 in_specs=(Pd, P(), P(), P()), out_specs=(Pd,) * 5,
                 check_vma=False,
             ))
             self._trace_coords = jax.jit(shard_map(
-                self._trace_from_coords, mesh=self._mesh,
-                in_specs=(Pd, P(), P()), out_specs=(Pd,) * 5,
+                trace_coords, mesh=self._mesh,
+                in_specs=(Pd, P(), P()) + ((P(),) if self._tracer == "raster" else ()),
+                out_specs=(Pd,) * 5,
                 check_vma=False,
             ))
             self._infer = jax.jit(shard_map(
@@ -204,10 +227,12 @@ class Renderer:
     def set_height(self, height):
         self.H = height
         self._trace_cache.clear()  # cached traces are resolution-dependent
+        self._refresh_geometry()   # raster tile grid is sized by (H, W)
 
     def set_width(self, width):
         self.W = width
         self._trace_cache.clear()
+        self._refresh_geometry()
 
     def apply_mesh_transform(self, transform):
         self.mesh.apply_transform(transform)
@@ -242,6 +267,31 @@ class Renderer:
         """Explicit (possibly undistorted) pixel coordinates."""
         origins, dirs = ray_origins_and_directions(camCv2world, K, coords)
         return self._trace_impl(origins, dirs)
+
+    def _trace_from_indices_raster(self, pix_idx, camCv2world, K, coord_hull):
+        """Raster-tracer twin of _trace_from_indices. coord_hull is the FULL
+        view's [2,2] (cmin; cmax) pixel hull, computed host-side once per
+        view: under shard_map each device sees only its ray shard, and a
+        per-shard hull would make the binning tables (hence exact-t
+        tie-breaks) differ between sharded and single-device renders."""
+        W = self.W  # static: raster's tile grid is sized by (H, W)
+        x = (pix_idx % W).astype(jnp.float32)
+        y = (pix_idx // W).astype(jnp.float32)
+        coords = jnp.stack([x, y], axis=-1)
+        return self._trace_impl_raster(coords, camCv2world, K, coord_hull)
+
+    def _trace_from_coords_raster(self, coords, camCv2world, K, coord_hull):
+        return self._trace_impl_raster(coords, camCv2world, K, coord_hull)
+
+    def _trace_impl_raster(self, coords, camCv2world, K, coord_hull):
+        hits, dirs = intersect_coords_pinhole_core(
+            self._verts, self._faces_sorted, camCv2world, K, coords,
+            W=self.W, H=self.H, coord_hull=coord_hull, return_dirs=True,
+        )
+        safe_face_sorted = jnp.where(hits.valid, hits.face_idx, 0)
+        vids = jnp.take(self._faces_sorted, safe_face_sorted, axis=0)
+        safe_face = jnp.take(self._face_orig_ids, safe_face_sorted)
+        return vids, hits.bary, dirs, safe_face, hits.valid
 
     def _trace_impl(self, origins, dirs):
         """[Lpad,3] rays -> per-ray hit records (device arrays)."""
@@ -372,6 +422,7 @@ class Renderer:
             trace = self._trace_cache[full_key]
             self._trace_cache.move_to_end(full_key)
         if trace is None:
+            raster = self._tracer == "raster"
             if distortion_type is not None:
                 assert distortion_coeffs is not None
                 if distortion_type != DistortionTypes.MESHROOM_RADIAL_K3:
@@ -380,15 +431,29 @@ class Renderer:
                     [pix_idx_pad % W, pix_idx_pad // W], axis=-1
                 ).astype(np.float64)
                 coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
-                trace = self._trace_coords(
-                    coords.astype(np.float32),
+                coords = coords.astype(np.float32)
+                args = (
+                    coords,
                     np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
                 )
+                if raster:
+                    hull = np.stack([coords.min(0), coords.max(0)])
+                    args += (hull,)
+                trace = self._trace_coords(*args)
             else:
+                if raster:
+                    # Full-view pixel hull, host-side (see
+                    # _trace_from_indices_raster for why not per-shard).
+                    xy = np.stack(
+                        [pix_idx % W, pix_idx // W], axis=-1
+                    ).astype(np.float32)
+                    last = np.stack([xy.min(0), xy.max(0)])
+                else:
+                    last = np.int32(W)
                 trace = self._trace_idx(
                     pix_idx_pad,
                     np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
-                    np.int32(W),
+                    last,
                 )
             if full_key is not None:
                 self._trace_cache[full_key] = trace

@@ -197,6 +197,45 @@ def test_coords_outside_grid():
     assert np.asarray(ref.valid).any()
 
 
+def test_renderer_raster_matches_cone():
+    """Renderer(tracer='raster') (the default) must produce the same image as
+    tracer='cone' up to the f16 wire grid — hit arithmetic is shared, so only
+    exact-t tie pixels could differ (none on this view)."""
+    from tests.test_render_regressions import _camera_rays, _renderer
+
+    H = W = 48
+    r_raster, m, efuncs = _renderer(H, W)
+    assert r_raster._tracer == "raster"
+    from intrinsic_neural_fields_tpu.render.renderer import Renderer
+
+    r_cone = Renderer(
+        r_raster.model, r_raster.variables, m, eigenfunctions=efuncs,
+        H=H, W=W, tracer="cone",
+    )
+    cam, K, _, _ = _camera_rays(H, W)
+    img_r, hits_r = r_raster.render(cam, K, eval_render=True)
+    img_c, hits_c = r_cone.render(cam, K, eval_render=True)
+    np.testing.assert_array_equal(hits_r, hits_c)
+    np.testing.assert_allclose(img_r, img_c, atol=2e-3)
+
+    # masked render too (packets spanning scattered tiles)
+    rng = np.random.default_rng(3)
+    mask = rng.uniform(size=H * W) < 0.6
+    np.testing.assert_allclose(
+        r_raster.render(cam, K, obj_mask_1d=mask),
+        r_cone.render(cam, K, obj_mask_1d=mask),
+        atol=2e-3,
+    )
+
+    # resolution change rebuilds the raster tile grid (static W/H)
+    r_raster.set_height(32)
+    r_raster.set_width(32)
+    from tests.test_intersect import _simple_K
+
+    img32 = r_raster.render(cam, _simple_K(32, 32))
+    assert img32.shape == (32, 32, 3)
+
+
 def test_zoomed_in_spans_overflow():
     """A close-up camera makes faces project wider than the 2x2-tile cap,
     mixing binned and overflow faces in one view."""

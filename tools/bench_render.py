@@ -42,12 +42,15 @@ def turntable_cams(n, radius=3.0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mesh", default="data/synthetic_catscale/blob.obj")
+    p.add_argument("--mesh", default=None,
+                   help="mesh file; default = generated 82k-face blob "
+                        "(the canonical cat-scale workload)")
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--k", type=int, default=1023)
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--u8", action="store_true", help="uint8 wire (video sink)")
+    p.add_argument("--tracer", default="raster", choices=("raster", "cone"))
     args = p.parse_args()
 
     import jax
@@ -56,7 +59,12 @@ def main():
     from intrinsic_neural_fields_tpu.models import init_model, make_model
     from intrinsic_neural_fields_tpu.render.renderer import Renderer
 
-    mesh = load_mesh(args.mesh)
+    if args.mesh:
+        mesh = load_mesh(args.mesh)
+    else:
+        from tools.make_synthetic_dataset import blob_mesh
+
+        mesh = blob_mesh(subdivisions=6)
     V = mesh.vertices.shape[0]
     rng = np.random.default_rng(0)
     efuncs = rng.normal(size=(V, args.k)).astype(np.float32)
@@ -66,7 +74,8 @@ def main():
     variables = init_model(model, cfg)
     H = W = args.H
     renderer = Renderer(model, variables, mesh, eigenfunctions=efuncs,
-                        H=H, W=W, wire_u8=args.u8, feature_dtype="bfloat16")
+                        H=H, W=W, wire_u8=args.u8, feature_dtype="bfloat16",
+                        tracer=args.tracer)
     K = np.array([[1.2 * W, 0, (W - 1) / 2.0], [0, 1.2 * W, (H - 1) / 2.0],
                   [0, 0, 1]], np.float32)
     cams = turntable_cams(args.frames)
