@@ -764,6 +764,73 @@ def adam_hyper_rows(counts, learning_rate, b1=0.9, b2=0.999, eps=1e-8,
     )
 
 
+def make_fused_adam_apply(spec: FusedMLPSpec, interpret=None):
+    """Adam update alone as ONE pallas call over the padded kernel-layout
+    lists — the data-parallel half of the in-kernel step: each device runs
+    make_fused_train_grads (gradients leave the kernel as the per-device
+    batch mean), the caller pmean's them over the mesh axis, and this kernel
+    applies the identical update everywhere, replacing the optax tree update
+    (~23 us/step of XLA op-dispatch over 14 leaves at cat scale, RESULTS.md)
+    with one launch.
+
+    Returns f(wb, m, v, hyper, grads) -> (new_wb, new_m, new_v).
+    wb/m/v/grads: padded kernel-layout lists; hyper: one [1, 128] row from
+    adam_hyper_rows. Numerics are the same expressions as
+    make_fused_train_adam's in-kernel tail, so single-device in-kernel-Adam
+    and DP grads+apply produce the same update given the same global grads.
+
+    Everything fits VMEM here (no batch data rides along): at k=1023 the
+    seven operand lists total ~6 MB, so unlike make_fused_train_adam no
+    HBM staging is needed.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_wb = 2 * len(spec.weight_names())
+
+    def kernel(*refs):
+        hyper_ref = refs[0]
+        wb_refs = refs[1:1 + n_wb]
+        g_refs = refs[1 + n_wb:1 + 2 * n_wb]
+        m_refs = refs[1 + 2 * n_wb:1 + 3 * n_wb]
+        v_refs = refs[1 + 3 * n_wb:1 + 4 * n_wb]
+        outs = refs[1 + 4 * n_wb:]
+        new_wb = outs[:n_wb]
+        new_m = outs[n_wb:2 * n_wb]
+        new_v = outs[2 * n_wb:3 * n_wb]
+        lr = hyper_ref[0, 0]
+        c1 = hyper_ref[0, 1]   # 1/(1-b1^t)
+        c2 = hyper_ref[0, 2]   # 1/(1-b2^t)
+        b1 = hyper_ref[0, 3]
+        b2 = hyper_ref[0, 4]
+        eps = hyper_ref[0, 5]
+        eps_root = hyper_ref[0, 6]
+        for idx in range(n_wb):
+            g = g_refs[idx][:]
+            m_new = (1.0 - b1) * g + b1 * m_refs[idx][:]
+            v_new = (1.0 - b2) * (g * g) + b2 * v_refs[idx][:]
+            upd = (lr * (m_new * c1)) / (
+                jnp.sqrt(v_new * c2 + eps_root) + eps
+            )
+            new_wb[idx][:] = wb_refs[idx][:] - upd
+            new_m[idx][:] = m_new
+            new_v[idx][:] = v_new
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(wb, m, v, hyper, grads):
+        wb_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(wb_shapes) * 3,
+            in_specs=[vmem() for _ in range(1 + 4 * n_wb)],
+            out_specs=tuple(vmem() for _ in range(3 * n_wb)),
+            interpret=interpret,
+        )(hyper, *wb, *grads, *m, *v)
+        return list(outs[:n_wb]), list(outs[n_wb:2 * n_wb]), list(outs[2 * n_wb:])
+
+    return run
+
+
 def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):
     """Returns apply(wb_list, x_padded) -> rgb [B, out_dim] with custom VJP.
 

@@ -52,22 +52,32 @@ def make_device_mesh(n_devices=None, axis_name="data"):
 
 
 def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
-                      shuffle="full", fused=False, fused_interleave=4,
-                      sorted_gather=False):
+                      shuffle="full", fused=False, fused_adam=True,
+                      fused_interleave=4, sorted_gather=False):
     """(train_epoch, val_epoch) with the same signatures as train.steps'
     single-device versions, but sharded over `mesh`. shuffle="blocks" streams
     contiguous per-device slices of each global block (see train/steps.py).
     fused=True runs the per-device step as one Pallas kernel (see
     train/steps.py make_epoch_fns): each device computes local-mean grads,
     which pmean to the global batch mean; requires blocks mode (full
-    batches) and a fused-eligible model. The single-device path's IN-KERNEL
-    Adam is deliberately absent here: DP must pmean gradients ACROSS devices
-    between the backward pass and the optimizer update, and the in-kernel
-    update never materializes gradients outside the kernel — so the DP step
-    is fused grads + optax Adam. fused_interleave / sorted_gather: see
-    make_epoch_fns (sorted_gather reorders each shard's gather ascending —
-    shard means and the psum'd weighted sums are within-batch
-    order-invariant, so semantics match to f32 reduction order)."""
+    batches) and a fused-eligible model.
+
+    fused_adam=True closes the DP gap to the single-device IN-KERNEL Adam:
+    the single-device kernel folds the update into the grads kernel and
+    never materializes gradients, which DP cannot reuse directly (the pmean
+    must sit between backward and update). The DP split is
+      grads kernel (per-device batch mean, VMEM-resident weights)
+        -> lax.pmean over ICI (the one inter-chip collective, ~0.86 MB at
+           k=1023)
+        -> ops/fused_mlp.make_fused_adam_apply (one pallas call updating
+           params/m/v, replacing the ~23 us optax tree update).
+    Applies on the streaming blocks path with the factory Adam optimizer
+    (probed via train/steps._adam_opt_view, exactly like the single-device
+    path); anything else keeps the optax update. fused_interleave /
+    sorted_gather: see make_epoch_fns (sorted_gather reorders each shard's
+    gather ascending — shard means and the psum'd weighted sums are
+    within-batch order-invariant, so semantics match to f32 reduction
+    order)."""
     assert shuffle in ("full", "blocks")
     if fused and shuffle != "blocks":
         # The fused kernel only pays in the streaming blocks mode (measured
@@ -191,13 +201,15 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
 
                 from ..ops.fused_mlp import (
                     FusedMLPSpec,
+                    adam_hyper_rows,
                     grads_to_padded,
+                    make_fused_adam_apply,
                     make_fused_train_grads,
                     pad_flax_params,
                     unpad_flax_params,
                     wb_from_padded,
                 )
-                from ..train.steps import _pick_fused_tile
+                from ..train.steps import _adam_opt_view, _pick_fused_tile
 
                 k_in = data.features.shape[1]
                 spec = FusedMLPSpec(
@@ -221,6 +233,16 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                     stream=fused_stream,
                     interleave=_effective_interleave(fused_interleave, tile),
                 )
+                # In-kernel Adam apply after the cross-device pmean (the DP
+                # split of the single-device in-kernel step — see the
+                # factory docstring). Streaming path + factory Adam only,
+                # mirroring train/steps.py's use_kernel_adam gate.
+                use_kernel_adam = bool(
+                    fused_stream and fused_adam
+                    and _adam_opt_view(state.opt_state) is not None
+                )
+                if use_kernel_adam:
+                    apply_run = make_fused_adam_apply(spec)
 
                 def _pad_opt(opt_state, params):
                     return _optax.tree_map_params(
@@ -266,11 +288,78 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 acc_n = acc_n + jnp.float32(batch_size)
                 return (params_p, opt_state, acc_loss, acc_sq, acc_n)
 
+            def kernel_adam_shard_step(carry, data, start, hyper):
+                """grads kernel -> pmean over the mesh axis -> in-kernel
+                apply. Identical grads on every device after the pmean, so
+                the aliased wb/m/v stay replicated without a broadcast."""
+                wb, m, v, acc_loss, acc_sq, acc_n = carry
+                gt = lax.dynamic_slice(
+                    data.expected_rgbs, (start, 0), (local_b, 3)
+                )
+                grad_list, loss_sum, sq_sum = fused_run(
+                    wb, data.hit_features, gt, start, local_b
+                )
+                grad_list = lax.pmean(grad_list, axis_name)
+                wb, m, v = apply_run(wb, m, v, hyper, grad_list)
+                acc_loss = acc_loss + lax.psum(loss_sum, axis_name) / 3.0
+                acc_sq = acc_sq + lax.psum(sq_sum, axis_name)
+                acc_n = acc_n + jnp.float32(batch_size)
+                return (wb, m, v, acc_loss, acc_sq, acc_n)
+
             def shard_fn(state, key, data, dev_ids):
                 dev = dev_ids[0]
                 block_order = jax.random.permutation(
                     jax.random.fold_in(key, dev), num_batches
                 )
+
+                if fused and use_kernel_adam:
+                    # Carry (wb, m, v) in the kernel's padded layout, like
+                    # train/steps.py's single-device in-kernel epoch; the
+                    # optax state is rebuilt (mu/nu/count) at epoch end.
+                    hp, adam_state, adam_inner = _adam_opt_view(state.opt_state)
+                    wb0 = wb_from_padded(spec, pad_flax_params(spec, state.params))
+                    m0 = wb_from_padded(spec, pad_flax_params(spec, adam_state.mu))
+                    v0 = wb_from_padded(spec, pad_flax_params(spec, adam_state.nu))
+                    hyper_all = adam_hyper_rows(
+                        adam_state.count + 1 + jnp.arange(num_batches),
+                        hp["learning_rate"],
+                        b1=hp["b1"], b2=hp["b2"], eps=hp["eps"],
+                        eps_root=hp["eps_root"],
+                    )
+
+                    def kstep(carry, i):
+                        hyper = lax.dynamic_slice(hyper_all, (i, 0), (1, 128))
+                        return kernel_adam_shard_step(
+                            carry, data, block_order[i] * local_b, hyper
+                        ), None
+
+                    init = (
+                        wb0, m0, v0,
+                        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                    )
+                    (wb_f, m_f, v_f, acc_loss, acc_sq, acc_n), _ = lax.scan(
+                        kstep, init, jnp.arange(num_batches)
+                    )
+                    params = unpad_flax_params(spec, grads_to_padded(spec, wb_f))
+                    mu = unpad_flax_params(spec, grads_to_padded(spec, m_f))
+                    nu = unpad_flax_params(spec, grads_to_padded(spec, v_f))
+                    new_adam = adam_state._replace(
+                        count=adam_state.count + jnp.int32(num_batches),
+                        mu=mu, nu=nu,
+                    )
+                    opt_state = state.opt_state._replace(
+                        count=state.opt_state.count + jnp.int32(num_batches),
+                        inner_state=(new_adam,) + tuple(adam_inner[1:]),
+                    )
+                    metrics = {
+                        "loss": acc_loss / acc_n,
+                        "sq_err_per_sample": acc_sq / acc_n,
+                    }
+                    return (
+                        TrainState(params, state.buffers, opt_state,
+                                   state.batch_stats),
+                        metrics,
+                    )
 
                 def step(carry, i):
                     if fused:
@@ -396,6 +485,7 @@ def parallelize_trainer(trainer, n_devices):
         trainer.optimizer, trainer.loss_type, mesh,
         shuffle=getattr(trainer, "shuffle", "full"),
         fused=getattr(trainer, "fused_mlp", False),
+        fused_adam=trainer.config["training"].get("fused_adam", True),
         fused_interleave=trainer.config["training"].get("fused_interleave", 4),
         sorted_gather=trainer.config["training"].get("sorted_gather", False),
     )

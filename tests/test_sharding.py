@@ -177,6 +177,73 @@ def test_dp_blocks_sharded_hit_features_exact_mean():
     np.testing.assert_allclose(float(m["loss"]), v, rtol=1e-5)
 
 
+def test_dp_fused_kernel_adam_matches_optax_update():
+    """fused_adam=True splits the DP step into grads-kernel -> pmean ->
+    in-kernel Adam apply. With identical keys the block orders match the
+    fused_adam=False (optax update) path exactly. The first epoch agrees to
+    f32 rounding; later epochs drift like the single-device kernel-vs-optax
+    comparison does (optax divides by (1-b^t), the kernel multiplies by its
+    precomputed reciprocal — ~1 ulp/update, amplified by training), so the
+    trajectory tolerance matches tests/test_fused_adam.py's."""
+    from intrinsic_neural_fields_tpu.data.sampler import precompute_hit_features
+
+    data = precompute_hit_features(_synthetic_raydata(n=8192))
+    cfg = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    mesh = make_device_mesh(8)
+
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    curves, finals = {}, {}
+    for fused_adam in (False, True):
+        tr, _ = make_dp_epoch_fns(model, optimizer, "L1", mesh,
+                                  shuffle="blocks", fused=True,
+                                  fused_adam=fused_adam)
+        state = create_train_state(copy(variables), optimizer)
+        losses = []
+        for e in range(4):
+            state, m = tr(state, jax.random.PRNGKey(e), data, 16, 512)
+            losses.append(float(jax.device_get(m["loss"])))
+        curves[fused_adam] = losses
+        finals[fused_adam] = jax.device_get(state)
+    np.testing.assert_allclose(curves[True][0], curves[False][0], rtol=1e-5)
+    np.testing.assert_allclose(curves[True], curves[False], rtol=0.02)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=8e-3),
+        finals[True].params, finals[False].params,
+    )
+    # optax state bookkeeping (count/mu/nu) rebuilt at epoch end
+    inner_t = finals[True].opt_state.inner_state[0]
+    inner_f = finals[False].opt_state.inner_state[0]
+    assert int(inner_t.count) == int(inner_f.count) == 64
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=8e-3),
+        inner_t.mu, inner_f.mu,
+    )
+
+
+def test_dp_fused_kernel_adam_lr0_identity():
+    """lr=0 through the kernel-adam DP path: params frozen, epoch loss is
+    exactly the dataset mean (each sharded row seen once)."""
+    from intrinsic_neural_fields_tpu.data.sampler import precompute_hit_features
+
+    data = precompute_hit_features(_synthetic_raydata(n=8192))
+    cfg = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=0.0)
+    mesh = make_device_mesh(8)
+    tr, va = make_dp_epoch_fns(model, optimizer, "L1", mesh,
+                               shuffle="blocks", fused=True, fused_adam=True)
+    state = create_train_state(variables, optimizer)
+    v = float(jax.device_get(va(state, data, 512))["loss"])
+    state, m = tr(state, jax.random.PRNGKey(5), data, 16, 512)
+    # 1e-4: the Pallas kernel accumulates the loss in per-tile partial sums
+    # (a different f32 reduction order than the XLA val epoch)
+    np.testing.assert_allclose(float(m["loss"]), v, rtol=1e-4)
+
+
 def test_dp_fused_blocks_matches_xla_dp():
     """fused=True in the DP blocks path: per-device Pallas steps with pmean'd
     local-mean grads must track the XLA DP path's loss curve."""
