@@ -42,10 +42,17 @@ class MeshViewPreProcessor:
     numpy oracle (slower, maximally precise barycentrics).
     """
 
-    def __init__(self, path_to_mesh, out_directory, intersector="device"):
+    def __init__(self, path_to_mesh, out_directory, intersector="device",
+                 tracer="raster"):
         self.out_dir = out_directory
         self.mesh = load_mesh(path_to_mesh)
         self.intersector = intersector
+        # tracer (device intersector only): "raster" traces each view's
+        # pinhole bundle through the projective-binning tracer (ops/raster.py
+        # — ~half the device time of the cone tracer per view at cat scale);
+        # "cone" keeps the tiled cone-culling tracer. Hits agree to ~1 ulp.
+        assert tracer in ("raster", "cone"), tracer
+        self.tracer = tracer
         self._verts_f32 = jnp.asarray(self.mesh.vertices, jnp.float32)
         self._faces = jnp.asarray(self.mesh.faces)
         self._trace_jit = jax.jit(self._trace_view)
@@ -133,55 +140,102 @@ class MeshViewPreProcessor:
             )
             return
 
-        hits = self._dispatch_trace(camCv2world, K, coords)
+        hits, order = self._dispatch_trace(camCv2world, K, coords, H, W)
         self._pending.append(
-            (hits, L, camCv2world, expected_rgbs, unit_ray_dirs, mask, depth_check)
+            (hits, order, L, camCv2world, expected_rgbs, unit_ray_dirs, mask,
+             depth_check)
         )
         while len(self._pending) > _PIPELINE_DEPTH:
             self._drain_one()
 
-    def _dispatch_trace(self, camCv2world, K, coords):
+    def _dispatch_trace(self, camCv2world, K, coords, H=None, W=None):
         """Asynchronously dispatch one view's ray-gen + trace; returns device
-        Hits (padded — slice to the real ray count after fetching).
+        Hits (padded) plus the Morton permutation applied to the coords
+        (None for the cone path) — slice to the real ray count and
+        un-permute after fetching. H/W (the raster tile grid) default to the
+        coord hull.
 
         Bucket-pads the ray count so jit compiles once per bucket, not once
         per view (mask sizes differ view to view). Edge padding keeps the
-        culling cones tight."""
+        culling cones / tile spans tight. The raster path Z-orders the
+        masked coords first: its 1024-ray packets then cover compact tile
+        spans instead of row-major strips across the whole tile grid."""
         L = coords.shape[0]
         bucket = 1 << 15
         Lpad = max(-(-L // bucket) * bucket, bucket)
-        c = np.pad(coords.astype(np.float32), ((0, Lpad - L), (0, 0)), mode="edge")
+        coords = coords.astype(np.float32)
+        if self.tracer == "raster":
+            from ..ops.morton import pixel_morton_order
+            from ..ops.raster import intersect_coords_pinhole
+
+            if H is None or W is None:
+                W = int(np.ceil(coords[:, 0].max())) + 1
+                H = int(np.ceil(coords[:, 1].max())) + 1
+            order = pixel_morton_order(
+                np.clip(coords, 0, [W - 1, H - 1])
+            )
+            c = np.pad(coords[order], ((0, Lpad - L), (0, 0)), mode="edge")
+            hits = intersect_coords_pinhole(
+                self._verts_f32, self._faces,
+                np.asarray(camCv2world, np.float32),
+                np.asarray(K, np.float32), c, W=W, H=H,
+            )
+            return hits, order
+        c = np.pad(coords, ((0, Lpad - L), (0, 0)), mode="edge")
         return self._trace_jit(
             self._verts_f32, self._faces,
             np.asarray(camCv2world, np.float32), np.asarray(K, np.float32), c,
-        )
+        ), None
 
-    def _intersect_coords(self, camCv2world, K, coords):
+    @staticmethod
+    def _unpermute(order, *arrays):
+        if order is None:
+            return arrays
+        out = []
+        for a in arrays:
+            u = np.empty_like(a)
+            u[order] = a
+            out.append(u)
+        return tuple(out)
+
+    def _intersect_coords(self, camCv2world, K, coords, H=None, W=None):
         """Synchronous device trace of one view's pixel coords — returns
-        (t, face_idx, bary, valid) numpy arrays (benchmark/parity entry)."""
+        (t, face_idx, bary, valid) numpy arrays in the input coord order
+        (benchmark/parity entry). H/W default to the coord hull (the raster
+        tile grid only needs to cover the coords)."""
         L = coords.shape[0]
-        hits = self._dispatch_trace(camCv2world, K, coords)
+        if H is None or W is None:
+            W = int(np.ceil(coords[:, 0].max())) + 1
+            H = int(np.ceil(coords[:, 1].max())) + 1
+        hits, order = self._dispatch_trace(camCv2world, K, coords, H, W)
         t, face_idx, bary, valid = jax.device_get(
             (hits.t, hits.face_idx, hits.bary, hits.valid)
         )
-        return t[:L], face_idx[:L], bary[:L], valid[:L]
+        return self._unpermute(
+            order, t[:L], face_idx[:L], bary[:L], valid[:L]
+        )
 
     def _drain_one(self):
-        (hits, L, camCv2world, expected_rgbs, unit_ray_dirs, mask,
+        (hits, order, L, camCv2world, expected_rgbs, unit_ray_dirs, mask,
          depth_check) = self._pending.popleft()
         # t crosses the wire only when the depth check needs it
         if depth_check is not None:
             t, face_idx, bary, valid = jax.device_get(
                 (hits.t, hits.face_idx, hits.bary, hits.valid)
             )
-            t = t[:L]
+            t, face_idx, bary, valid = self._unpermute(
+                order, t[:L], face_idx[:L], bary[:L], valid[:L]
+            )
         else:
             face_idx, bary, valid = jax.device_get(
                 (hits.face_idx, hits.bary, hits.valid)
             )
+            face_idx, bary, valid = self._unpermute(
+                order, face_idx[:L], bary[:L], valid[:L]
+            )
             t = None
         self._finalize_view(
-            camCv2world, t, face_idx[:L], bary[:L], valid[:L],
+            camCv2world, t, face_idx, bary, valid,
             expected_rgbs, unit_ray_dirs, mask, depth_check,
         )
 

@@ -30,6 +30,10 @@ def parse_args():
     parser.add_argument("split", type=str)
     parser.add_argument("--dataset_type", type=str, default=None)
     parser.add_argument("--check_depth", action="store_true")
+    parser.add_argument("--tracer", type=str, default="raster",
+                        choices=("raster", "cone"),
+                        help="device tracer: projective-binning (default) or "
+                             "cone-culling (see data/preprocess.py)")
     parser.add_argument("--intersector", type=str, default="device",
                         help="'device' (XLA tiled tracer) or 'host' (f64 oracle)")
     return parser.parse_args()
@@ -71,13 +75,14 @@ def preprocess_meshroom_data(pre_proc, metadata, dataset_path):
 
 
 def preprocess_dataset(split, dataset_path, path_to_mesh, out_dir, dataset_type,
-                       check_depth, intersector="device"):
+                       check_depth, intersector="device", tracer="raster"):
     split_out_dir = os.path.join(out_dir, split)
     if os.path.exists(split_out_dir):
         raise RuntimeError(f"Error: You are trying to overwrite: {split_out_dir}")
     os.makedirs(split_out_dir, exist_ok=True)
 
-    pre_proc = MeshViewPreProcessor(path_to_mesh, split_out_dir, intersector=intersector)
+    pre_proc = MeshViewPreProcessor(path_to_mesh, split_out_dir,
+                                    intersector=intersector, tracer=tracer)
 
     if dataset_type is None:
         views = read_split_list(dataset_path, split)
@@ -100,6 +105,7 @@ def main():
         args.dataset_type,
         args.check_depth,
         intersector=args.intersector,
+        tracer=args.tracer,
     )
 
 

@@ -204,6 +204,64 @@ def test_preprocessor_zero_ray_view(synthetic_setup, tmp_path):
     assert face_idxs.ndim == 1
 
 
+def test_preprocessor_raster_matches_cone(synthetic_setup, tmp_path):
+    """The device preprocessor's default raster tracer must cache the same
+    hit records as the cone tracer (same per-pair arithmetic; raster
+    Z-orders the masked coords internally and un-permutes, so the 5-npy
+    byte contract keeps the masked-pixel order)."""
+    from intrinsic_neural_fields_tpu.data.preprocess import MeshViewPreProcessor
+
+    H = W = 32
+    cam = np.eye(4, dtype=np.float32)[:3]
+    cam[2, 3] = -3.0
+    K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]],
+                 dtype=np.float32)
+    rng = np.random.default_rng(0)
+    mask = rng.uniform(size=(H, W)) < 0.7
+    img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+
+    caches = {}
+    for tracer in ("raster", "cone"):
+        mvp = MeshViewPreProcessor(
+            synthetic_setup["mesh_path"], str(tmp_path / f"pp_{tracer}"),
+            tracer=tracer,
+        )
+        assert mvp.tracer == tracer
+        mvp.cache_single_view(cam, K, mask, img)
+        mvp.write_to_disk()
+        caches[tracer] = {
+            name: np.load(
+                os.path.join(str(tmp_path / f"pp_{tracer}"), name + ".npy")
+            )
+            for name in ("face_idxs", "vids_of_hit_faces",
+                         "barycentric_coords", "expected_rgbs",
+                         "unit_ray_dirs")
+        }
+    r, c = caches["raster"], caches["cone"]
+    assert r["face_idxs"].shape == c["face_idxs"].shape  # same hit set
+    np.testing.assert_array_equal(r["expected_rgbs"], c["expected_rgbs"])
+    np.testing.assert_array_equal(r["unit_ray_dirs"], c["unit_ray_dirs"])
+    same = r["face_idxs"] == c["face_idxs"]
+    assert same.mean() > 0.97, same.mean()
+    np.testing.assert_allclose(
+        r["barycentric_coords"][same], c["barycentric_coords"][same],
+        atol=2e-4,
+    )
+    if not same.all():
+        # exact-t ties along shared edges pick either face; the cached HIT
+        # POINTS must coincide (equivalent training rows)
+        from intrinsic_neural_fields_tpu.geometry.mesh import load_mesh
+
+        mesh = load_mesh(synthetic_setup["mesh_path"])
+        verts = np.asarray(mesh.vertices)
+        sel = ~same
+        p_r = np.einsum("bj,bjk->bk", r["barycentric_coords"][sel],
+                        verts[r["vids_of_hit_faces"][sel]])
+        p_c = np.einsum("bj,bjk->bk", c["barycentric_coords"][sel],
+                        verts[c["vids_of_hit_faces"][sel]])
+        np.testing.assert_allclose(p_r, p_c, atol=2e-4)
+
+
 def test_k_ranges_config_expansion(tmp_path):
     """`model.k: {ranges: [[a,b], ...]}` expands to the reference's explicit
     index-list form (reference intrinsic_cat.yaml spells out 1023 literals;

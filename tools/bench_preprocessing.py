@@ -63,6 +63,7 @@ def main():
     p.add_argument("path_to_mesh")
     p.add_argument("split")
     p.add_argument("--views", type=int, default=None, help="limit view count")
+    p.add_argument("--tracer", default="raster", choices=("raster", "cone"))
     p.add_argument("--host_rays", type=int, default=1 << 15,
                    help="per view, the host f64 oracle runs on a random "
                         "subsample of this many rays (it traces ~10k rays/min "
@@ -87,7 +88,8 @@ def main():
 
     # Device path: coords-only uplink + pipelined dispatch/fetch, exactly the
     # CLI's steady-state flow (data/preprocess.py cache_single_view).
-    pre = MeshViewPreProcessor(args.path_to_mesh, "/tmp/_unused")
+    pre = MeshViewPreProcessor(args.path_to_mesh, "/tmp/_unused",
+                               tracer=args.tracer)
     # compile outside the timed region: each distinct ray-count bucket is its
     # own executable (~20-40s tunnel compile), so warm every view once — the
     # steady state a full 100-view run reaches after its first few views.
@@ -98,15 +100,15 @@ def main():
 
     def dispatch(item):
         vi, (cam, K, c, _, _) = item
-        h = pre._dispatch_trace(cam, K, c)
+        h, order = pre._dispatch_trace(cam, K, c)
         print(f"[device] view {vi + 1}/{len(rays)} "
               f"t={time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-        return h, c.shape[0]
+        return h, order, c.shape[0]
 
     def finish(_item, p):
-        h, L = p
+        h, order, L = p
         t, f, b, v = jax.device_get((h.t, h.face_idx, h.bary, h.valid))
-        per_view.append((t[:L], f[:L], b[:L], v[:L]))
+        per_view.append(pre._unpermute(order, t[:L], f[:L], b[:L], v[:L]))
 
     pipelined_foreach(enumerate(rays), dispatch, finish, depth=2)
     wall = time.time() - t0
