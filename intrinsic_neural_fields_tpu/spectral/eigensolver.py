@@ -172,6 +172,7 @@ def _chefsi_device(
     L, M, k,
     tol=1e-3, degree=40, buffer_frac=0.2, max_iter=30, seed=0,
     refine=True, refine_degree=60, refine_rounds=12, spmv_bytes_budget=2 << 30,
+    refine_filter="host",
 ):
     """Chebyshev-filtered subspace iteration (CheFSI) on the device, f32,
     with one float64 filter + Rayleigh-Ritz polish on the host.
@@ -194,6 +195,18 @@ def _chefsi_device(
     sparse matvecs + one tall QR), after which eigenvalues/subspace are
     accurate to ~1e-9 relative. Deterministic: seeded start, fixed
     iteration counts given the same inputs.
+
+    refine_filter: where the polish rounds' chained Chebyshev PRE-FILTER
+    runs. "host" (default) keeps it f64 on the host — oracle-grade final
+    parity (1.6e-9 at 163k, RESULTS.md), but at large n the f64 SpMM chain
+    is roughly half the polish's single-core BLAS cost. "device" reuses the
+    f32 device filter kernel between the f64 host Rayleigh-Ritz steps —
+    much cheaper at scale; the f32 filter re-injects rounding noise into
+    the subspace every round, which the f64 Rayleigh-Ritz then has to
+    resolve (measured parity per scale in RESULTS.md's at-scale table;
+    4e-13 at n=2562 where the noise doesn't bind). Use "device" when the
+    basis feeds training (f32-level eigenfunctions are quality-neutral
+    there) and "host" when chasing oracle parity.
     """
     import jax
     import jax.numpy as jnp
@@ -382,16 +395,24 @@ def _chefsi_device(
         prev_r = np.inf
         stalls = 0
         for _ in range(refine_rounds):
-            Xf = X_host
             # same conditioning-adaptive chaining as the device loop, but
             # with a HIGHER amplification target (e^8/round): host rounds
             # pay a large fixed cost (CholQR2 + two [n,m]x[m,m] matmuls ~
             # 250 GFLOP at 163k) on top of the matvecs, so trading matvecs
             # for fewer rounds is a straight win at scale
             per_pass = refine_degree * 2.0 * np.sqrt(max(lam_cut / lam_max, 1e-12))
-            for _ in range(int(np.clip(np.ceil(8.0 / per_pass), 1, 12))):
-                Xf = cheb_f64(Xf, lam_cut, refine_degree)
-                Xf = Xf / np.abs(Xf).max()
+            passes = int(np.clip(np.ceil(8.0 / per_pass), 1, 12))
+            if refine_filter == "device":
+                Xf32 = jnp.asarray(X_host, jnp.float32)
+                cut32 = jnp.float32(lam_cut)
+                for _ in range(passes):
+                    Xf32 = cheb_filter(Xf32, cut32, refine_degree)
+                Xf = np.asarray(Xf32, dtype=np.float64)
+            else:
+                Xf = X_host
+                for _ in range(passes):
+                    Xf = cheb_f64(Xf, lam_cut, refine_degree)
+                    Xf = Xf / np.abs(Xf).max()
             Q = chol_qr2(Xf)
             H = Q.T @ (C @ Q)
             theta_h, U = np.linalg.eigh(0.5 * (H + H.T))

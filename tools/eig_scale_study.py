@@ -45,6 +45,8 @@ def main():
     p.add_argument("--max_iter", type=int, default=30)
     p.add_argument("--degree", type=int, default=40)
     p.add_argument("--refine_rounds", type=int, default=12)
+    p.add_argument("--refine_filter", default="host", choices=("host", "device"),
+                   help="where the polish pre-filter runs (see _chefsi_device)")
     args = p.parse_args()
 
     from intrinsic_neural_fields_tpu.geometry.laplacian import (
@@ -83,9 +85,11 @@ def main():
         max_iter=args.max_iter,
         degree=args.degree,
         refine_rounds=args.refine_rounds,
+        refine_filter=args.refine_filter,
     )
     out["chefsi_wall_s"] = round(time.time() - t0, 1)
     out["refine"] = not args.no_refine
+    out["refine_filter"] = args.refine_filter
     out["eigenvalue_max_rel_dev"] = float(
         f"{np.abs(lam - lam_ref[: args.k]).max() / np.abs(lam_ref).max():.3e}"
     )
