@@ -116,6 +116,11 @@ def main():
     results["device_wall_s"] = round(wall, 3)
     results["device_rays_per_s"] = round(n_rays / wall)
 
+    if n_sub == 0:  # --host_rays 0: device timing only, no oracle/parity
+        results.update(n_views=len(views), n_rays=n_rays, n_parity_rays=0)
+        print(json.dumps(results))
+        return
+
     # Host float64 oracle on the parity subsets.
     t0 = time.time()
     per_view = []
