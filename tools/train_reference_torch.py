@@ -127,7 +127,23 @@ def main():
     )
 
     mod = ref_model_module()
-    model = mod.make_model(config["model"], mesh=None)
+    model_config = config["model"]
+    if "hks_timesteps" in model_config:
+        # The reference's make_model gates the HKS input dim on
+        # `hasattr(model_config, "hks_timesteps")` (model.py:209) — written
+        # for an attribute-style config, dead for the plain dicts its YAML
+        # loader produces (it would build in_dim=k and crash on the 128-dim
+        # HKS features). Hand the verbatim reference code the attribute view
+        # that branch expects; every other family stays a plain dict.
+        class _AttrDict(dict):
+            def __getattr__(self, name):
+                try:
+                    return self[name]
+                except KeyError:
+                    raise AttributeError(name)
+
+        model_config = _AttrDict(model_config)
+    model = mod.make_model(model_config, mesh=None)
     optim = torch.optim.Adam(model.parameters(), lr=config["training"]["lr"])
     loss_type = config["training"]["loss_type"]
     assert loss_type == "L1", loss_type
