@@ -172,7 +172,7 @@ def _chefsi_device(
     L, M, k,
     tol=1e-3, degree=40, buffer_frac=0.2, max_iter=30, seed=0,
     refine=True, refine_degree=60, refine_rounds=12, spmv_bytes_budget=2 << 30,
-    refine_filter="host",
+    refine_filter="device",
 ):
     """Chebyshev-filtered subspace iteration (CheFSI) on the device, f32,
     with one float64 filter + Rayleigh-Ritz polish on the host.
@@ -197,16 +197,21 @@ def _chefsi_device(
     iteration counts given the same inputs.
 
     refine_filter: where the polish rounds' chained Chebyshev PRE-FILTER
-    runs. "host" (default) keeps it f64 on the host — oracle-grade final
-    parity (1.6e-9 at 163k, RESULTS.md), but at large n the f64 SpMM chain
-    is roughly half the polish's single-core BLAS cost. "device" reuses the
-    f32 device filter kernel between the f64 host Rayleigh-Ritz steps —
-    much cheaper at scale; the f32 filter re-injects rounding noise into
-    the subspace every round, which the f64 Rayleigh-Ritz then has to
-    resolve (measured parity per scale in RESULTS.md's at-scale table;
-    4e-13 at n=2562 where the noise doesn't bind). Use "device" when the
-    basis feeds training (f32-level eigenfunctions are quality-neutral
-    there) and "host" when chasing oracle parity.
+    runs. "device" (default) reuses the f32 device filter kernel between
+    the f64 host Rayleigh-Ritz steps; the f32 filter re-injects rounding
+    noise into the subspace every round, but the f64 Rayleigh-Ritz resolves
+    it — and because each round is then cheap, the budget affords MORE
+    rounds, ending at better parity than the all-f64 polish: measured at
+    n=163,842/k=529 (RESULTS.md at-scale table), 877.6 s wall with
+    eigenvalue parity 1.4e-11 / principal angle < 1e-4 deg — 4.6x faster
+    AND more accurate than refine_filter="host" (4010 s, 1.6e-9 / 0.0004
+    deg), and faster than ARPACK shift-invert itself at this scale
+    (924.1 s). At SMALL n the f32 noise floor binds instead: per-eigenvalue
+    parity ~3e-8 relative (tests/test_spectral.py) vs the host path's
+    ~1e-9 — use "host" when chasing per-eigenvalue oracle parity below
+    preprocessing scale. "host" keeps the chained pre-filter f64 on the
+    host — the conservative all-f64 path, roughly half the polish's
+    single-core BLAS cost at scale.
     """
     import jax
     import jax.numpy as jnp

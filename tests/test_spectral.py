@@ -160,7 +160,12 @@ def test_chefsi_at_preprocessing_scale():
     L, M = build_laplacian(m, "cotan")
     k = 529
     ev_h, phi_h = solve_generalized_eigenproblem(L, M, k, method="shift_invert")
-    ev_d, phi_d = solve_generalized_eigenproblem(L, M, k, method="chefsi")
+    # Pin the all-f64 polish explicitly: the default refine_filter="device"
+    # floors at f32-class per-eigenvalue parity at small n (covered by
+    # test_chefsi_device_filtered_polish); the host path is the ~1e-9 oracle.
+    ev_d, phi_d = solve_generalized_eigenproblem(
+        L, M, k, method="chefsi", refine_filter="host"
+    )
 
     np.testing.assert_allclose(ev_d, ev_h, rtol=1e-8, atol=1e-8)
     Md = M.diagonal()
@@ -183,7 +188,8 @@ def test_chefsi_chunked_spmv_matches():
     k = 16
     ev_h, _ = solve_generalized_eigenproblem(L, M, k, method="shift_invert")
     ev_c, phi_c = solve_generalized_eigenproblem(
-        L, M, k, method="chefsi", spmv_bytes_budget=1 << 12
+        L, M, k, method="chefsi", spmv_bytes_budget=1 << 12,
+        refine_filter="host",  # pin the 1e-8-parity polish (see above)
     )
     np.testing.assert_allclose(ev_c, ev_h, rtol=1e-8, atol=1e-8)
     Md = M.diagonal()

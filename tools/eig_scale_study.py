@@ -45,7 +45,7 @@ def main():
     p.add_argument("--max_iter", type=int, default=30)
     p.add_argument("--degree", type=int, default=40)
     p.add_argument("--refine_rounds", type=int, default=12)
-    p.add_argument("--refine_filter", default="host", choices=("host", "device"),
+    p.add_argument("--refine_filter", default="device", choices=("host", "device"),
                    help="where the polish pre-filter runs (see _chefsi_device)")
     args = p.parse_args()
 
