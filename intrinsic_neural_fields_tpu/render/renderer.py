@@ -52,7 +52,7 @@ class _PendingRender(NamedTuple):
 
 
 def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_devices=None,
-                                     wire_u8=False, tracer="raster"):
+                                     wire_u8=False, tracer="raster", infer="auto"):
     """Rebuild a Renderer from a training out_dir (reference renderer.py:9-32).
 
     n_devices: shard every render D-way over a device mesh (see Renderer's
@@ -106,6 +106,7 @@ def make_renderer_with_trained_model(config, weights_name="model.ckpt", n_device
         # tools/profile_infer.py).
         feature_dtype=config["data"].get("precompute_dtype"),
         tracer=tracer,
+        infer=infer,
     )
 
 
@@ -128,6 +129,7 @@ class Renderer:
         feature_dtype=None,
         wire_u8=False,
         tracer="raster",
+        infer="auto",
     ):
         """mesh_devices: optional jax.sharding.Mesh. When given, tracing and
         inference are shard_map'd over its `shard_axis`: every padded ray
@@ -141,8 +143,19 @@ class Renderer:
         projective-binning tracer (ops/raster.py — ~1.8-3x less device time
         per view than the cone tracer at cat scale); "cone" keeps the tiled
         cone-culling tracer. Hit arithmetic is identical per (ray, face);
-        the paths differ only on exact-t ties (measure-zero)."""
+        the paths differ only on exact-t ties (measure-zero).
+
+        infer: "auto" (default) runs MLP inference through the fused Pallas
+        forward kernel (ops/fused_mlp.make_fused_apply) on TPU whenever the
+        model is fused-eligible (plain TextureField, incl. the pre-embedded
+        xyz/ff/rff families via mlp_core_view — the same coverage as the
+        fused train step), falling back to the XLA path otherwise; "fused"
+        forces the kernel (pallas interpreter on CPU — for tests); "xla"
+        keeps the flax apply. Both paths run the same bf16-multiply /
+        f32-accumulate matmuls; outputs differ only by contraction order
+        (quality-neutral, see tests/test_renderer_fused.py)."""
         assert tracer in ("raster", "cone"), tracer
+        assert infer in ("auto", "fused", "xla"), infer
         self._tracer = tracer
         self._mesh = mesh_devices
         self._axis = shard_axis
@@ -176,7 +189,52 @@ class Renderer:
         self.H = H
         self.W = W
         self.background = background
+        self._fused = self._resolve_fused_infer(infer)
         self._refresh_geometry()
+
+    def _resolve_fused_infer(self, infer):
+        """Resolve the `infer` mode to (spec, apply_fn, pre_embed) or None.
+
+        pre_embed: True when the interpolated features are hit POSITIONS that
+        must run through the model's fixed input encoding before the MLP
+        core (the mlp_core_view transformation the fused train step uses)."""
+        if infer == "xla":
+            return None
+        if infer == "auto" and jax.default_backend() != "tpu":
+            return None  # pallas interpret on CPU is correctness-only
+        from ..train.steps import fused_mlp_eligible, fused_pre_embed_eligible
+
+        if self.feature_strategy == "efuncs" and fused_mlp_eligible(self.model):
+            k_in = int(self.features.shape[1])
+            pre_embed = False
+        elif (self.feature_strategy in ("xyz", "ff", "rff")
+              and fused_pre_embed_eligible(self.model)):
+            from ..models.texture_field import input_encoder_apply
+
+            enc = input_encoder_apply(self.model, self.variables)
+            k_in = int(
+                jax.eval_shape(
+                    enc, jax.ShapeDtypeStruct((1, 3), jnp.float32)
+                ).shape[1]
+            )
+            pre_embed = True
+        else:
+            assert infer != "fused", (
+                "infer='fused' requires a fused-eligible TextureField "
+                "(train/steps.fused_mlp_eligible / fused_pre_embed_eligible)"
+            )
+            return None
+        from ..ops.fused_mlp import FusedMLPSpec, make_fused_apply
+
+        spec = FusedMLPSpec(
+            num_layers=self.model.num_layers,
+            k_in=k_in,
+            hidden=self.model.hidden_dim,
+            skip_idx=self.model.skip_layer_idx,
+        )
+        batch_tile = 1024
+        assert _INFER_CHUNK % batch_tile == 0
+        return spec, make_fused_apply(spec, batch_tile=batch_tile), pre_embed
 
     def _refresh_geometry(self):
         self._verts = jnp.asarray(self.mesh.vertices, jnp.float32)
@@ -328,15 +386,38 @@ class Renderer:
             (vids, bary, dirs, safe_face),
         )
 
-        def infer(args):
-            c_vids, c_bary, c_dirs, c_face = args
-            feats = interpolate_vertex_features(features, c_vids, c_bary)
-            batch = {"unit_ray_dirs": c_dirs, "hit_face_idxs": c_face}
-            if self.feature_strategy == "efuncs":
-                batch["eigenfunctions"] = feats
-            else:
-                batch["xyz"] = feats
-            return self.model.apply(variables, batch)
+        if self._fused is not None:
+            spec, fused_apply, pre_embed = self._fused
+            encode = None
+            if pre_embed:
+                from ..models.texture_field import input_encoder_apply
+
+                encode = input_encoder_apply(self.model, variables)
+            from ..ops.fused_mlp import params_to_list
+
+            wb = params_to_list(spec, variables["params"])
+
+            def infer(args):
+                c_vids, c_bary, _c_dirs, _c_face = args
+                feats = interpolate_vertex_features(features, c_vids, c_bary)
+                x = encode(feats) if encode is not None else feats
+                x = jnp.pad(
+                    x.astype(jnp.float32),
+                    ((0, 0), (0, spec.k_pad - x.shape[1])),
+                )
+                return fused_apply(wb, x)
+
+        else:
+
+            def infer(args):
+                c_vids, c_bary, c_dirs, c_face = args
+                feats = interpolate_vertex_features(features, c_vids, c_bary)
+                batch = {"unit_ray_dirs": c_dirs, "hit_face_idxs": c_face}
+                if self.feature_strategy == "efuncs":
+                    batch["eigenfunctions"] = feats
+                else:
+                    batch["xyz"] = feats
+                return self.model.apply(variables, batch)
 
         preds = lax.map(infer, chunked).reshape(-1, 3)[:Lpad]
         # Composite the background on device: the wire then carries ONE

@@ -92,6 +92,41 @@ def main():
     timed("interp+MLP, lax.map (renderer path)", jax.jit(full), variables, E, vids, bary)
     timed("interp+MLP, lax.map (bf16 table)", jax.jit(full), variables, E16, vids, bary)
 
+    # Round 4: the fused Pallas forward kernel (Renderer(infer="auto"/"fused")).
+    from intrinsic_neural_fields_tpu.ops.fused_mlp import (
+        FusedMLPSpec,
+        make_fused_apply,
+        params_to_list,
+    )
+
+    spec = FusedMLPSpec(num_layers=6, k_in=K, hidden=128, skip_idx=3)
+    fused = make_fused_apply(spec, batch_tile=1024)
+    wb = params_to_list(spec, variables["params"])
+    kpad = spec.k_pad - K
+
+    def fused_chunked(wb, feats):
+        xs = feats.reshape(-1, chunk, feats.shape[1])
+        return lax.map(lambda x: fused(wb, jnp.pad(x, ((0, 0), (0, kpad)))), xs)
+
+    timed("MLP fwd fused kernel, 8k chunks", jax.jit(fused_chunked), wb, feats)
+
+    def full_fused(wb, E, vids, bary):
+        xs = (vids.reshape(-1, chunk, 3), bary.reshape(-1, chunk, 3))
+        return lax.map(
+            lambda ab: fused(
+                wb,
+                jnp.pad(
+                    interpolate_vertex_features(E, *ab), ((0, 0), (0, kpad))
+                ),
+            ),
+            xs,
+        )
+
+    timed("interp+fused, lax.map (fused renderer path)",
+          jax.jit(full_fused), wb, E, vids, bary)
+    timed("interp+fused, lax.map (bf16 table)",
+          jax.jit(full_fused), wb, E16, vids, bary)
+
 
 if __name__ == "__main__":
     main()
