@@ -33,6 +33,8 @@ def main():
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--k", type=int, default=1023)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--tracer", default="raster", choices=("raster", "cone"))
+    p.add_argument("--infer", default="auto", choices=("auto", "fused", "xla"))
     args = p.parse_args()
 
     import jax
@@ -42,7 +44,16 @@ def main():
     from intrinsic_neural_fields_tpu.models import init_model, make_model
     from intrinsic_neural_fields_tpu.render.renderer import Renderer
 
-    mesh = load_mesh(args.mesh)
+    if os.path.exists(args.mesh):
+        mesh = load_mesh(args.mesh)
+    else:
+        # data/ is not committed; fall back to the same 81,920-face blob the
+        # synthetic cat-scale dataset uses (tools/make_synthetic_dataset.py).
+        from tools.make_synthetic_dataset import blob_mesh
+
+        mesh = blob_mesh(subdivisions=6)
+        print(f"[{args.mesh} missing -> synthetic blob, "
+              f"{mesh.faces.shape[0]} faces]", flush=True)
     V = mesh.vertices.shape[0]
     rng = np.random.default_rng(0)
     efuncs = rng.normal(size=(V, args.k)).astype(np.float32)
@@ -56,7 +67,8 @@ def main():
     cam[2, 3] = -3.0
     K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]], np.float32)
 
-    r = Renderer(model, variables, mesh, eigenfunctions=efuncs, H=H, W=W)
+    r = Renderer(model, variables, mesh, eigenfunctions=efuncs, H=H, W=W,
+                 tracer=args.tracer, infer=args.infer)
 
     # end-to-end render, no cache
     t_e2e, _ = timeit(lambda: r.render(cam, K), args.reps)
@@ -70,8 +82,17 @@ def main():
     xy = np.stack([pix % W, pix // W], axis=-1)
     pix = pix[pixel_morton_order(xy)]
 
+    # _trace_idx's last arg depends on the tracer: the raster path takes the
+    # full view's [2,2] pixel-coordinate hull, the cone path the image width
+    # (mirrors Renderer.render_async).
+    if r._tracer == "raster":
+        xyf = np.stack([pix % W, pix // W], axis=-1).astype(np.float32)
+        trace_last = np.stack([xyf.min(0), xyf.max(0)])
+    else:
+        trace_last = np.int32(W)
+
     def trace_once():
-        tr = r._trace_idx(pix, cam, K, np.int32(W))
+        tr = r._trace_idx(pix, cam, K, trace_last)
         jax.block_until_ready(tr)
         return tr
 

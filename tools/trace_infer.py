@@ -27,6 +27,8 @@ def main():
     p.add_argument("--k", type=int, default=1023)
     p.add_argument("--out", default="/tmp/infer_profile")
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--tracer", default="raster", choices=("raster", "cone"))
+    p.add_argument("--infer", default="auto", choices=("auto", "fused", "xla"))
     args = p.parse_args()
 
     import jax
@@ -36,7 +38,16 @@ def main():
     from intrinsic_neural_fields_tpu.models import init_model, make_model
     from intrinsic_neural_fields_tpu.render.renderer import Renderer
 
-    mesh = load_mesh(args.mesh)
+    if os.path.exists(args.mesh):
+        mesh = load_mesh(args.mesh)
+    else:
+        # data/ is not committed; fall back to the same 81,920-face blob the
+        # synthetic cat-scale dataset uses (tools/make_synthetic_dataset.py).
+        from tools.make_synthetic_dataset import blob_mesh
+
+        mesh = blob_mesh(subdivisions=6)
+        print(f"[{args.mesh} missing -> synthetic blob, "
+              f"{mesh.faces.shape[0]} faces]", flush=True)
     V = mesh.vertices.shape[0]
     rng = np.random.default_rng(0)
     efuncs = rng.normal(size=(V, args.k)).astype(np.float32)
@@ -47,14 +58,22 @@ def main():
     cam = np.eye(4, dtype=np.float32)[:3]
     cam[2, 3] = -3.0
     K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]], np.float32)
-    r = Renderer(model, variables, mesh, eigenfunctions=efuncs, H=H, W=W)
+    r = Renderer(model, variables, mesh, eigenfunctions=efuncs, H=H, W=W,
+                 tracer=args.tracer, infer=args.infer)
 
     from intrinsic_neural_fields_tpu.ops.morton import pixel_morton_order
 
     pix = np.arange(H * W, dtype=np.int32)
     xy = np.stack([pix % W, pix // W], axis=-1)
     pix = pix[pixel_morton_order(xy)]
-    trace = r._trace_idx(pix, cam, K, np.int32(W))
+    # _trace_idx's last arg depends on the tracer: raster takes the full
+    # view's [2,2] pixel hull, cone the image width (see render_async).
+    if r._tracer == "raster":
+        xyf = np.stack([pix % W, pix // W], axis=-1).astype(np.float32)
+        trace_last = np.stack([xyf.min(0), xyf.max(0)])
+    else:
+        trace_last = np.int32(W)
+    trace = r._trace_idx(pix, cam, K, trace_last)
     jax.block_until_ready(trace)
 
     def run():
