@@ -106,9 +106,19 @@ class _BinTables(NamedTuple):
 
 
 def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
-               W, H, tile_px, chunk):
+               W, H, tile_px, chunk, compact=True):
     """Build the per-view binning tables. cmin/cmax: [2] f32 hulls of the ray
-    pixel coordinates (conservative drop bounds for off-screen faces)."""
+    pixel coordinates (conservative drop bounds for off-screen faces).
+
+    compact=True (default) stream-compacts the valid entries into a
+    ~2F-capped buffer (cumsum positions + one masked scatter) BEFORE the
+    argsort and the per-entry row gathers: typical emission is ~1.2-1.5
+    entries/face, so the 4F slot-major layout makes the sort and the
+    [E,12] table build do ~2.5x excess work. Faces whose entries do not
+    fit the cap are demoted WHOLE to the exact z-sorted overflow segment
+    (their already-scattered entries become harmless duplicate tests), so
+    no hit can ever be lost — a pathological view degrades toward the
+    brute-force sweep, exactly like the degenerate-face path."""
     Tx = -(-W // tile_px)
     Ty = -(-H // tile_px)
     T_ids = _morton2_host(Tx - 1, Ty - 1) + 1
@@ -200,12 +210,33 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
             )
     keys = jnp.stack(keys, axis=1).reshape(-1)  # [4F]
 
-    order = jnp.argsort(keys)
-    sorted_keys = jnp.take(keys, order)
-    entry_fid = (order // 4).astype(jnp.int32)
+    lost = jnp.zeros((F,), bool)
+    if compact:
+        Ecap = max(chunk, -(-2 * F // chunk) * chunk)
+        valid_slot = keys < invalid_key
+        pos = jnp.cumsum(valid_slot.astype(jnp.int32)) - 1
+        fits = valid_slot & (pos < Ecap)
+        # Whole-face demotion when any slot missed the cap (slot -> face is
+        # entry//4; kept siblings stay as duplicate-but-harmless tile tests).
+        lost = (valid_slot & ~fits).reshape(F, 4).any(axis=1)
+        slot = jnp.where(fits, pos, Ecap)  # cap+1'th slot is discarded
+        ckeys = (
+            jnp.full((Ecap + 1,), invalid_key, jnp.int32)
+            .at[slot].set(jnp.where(fits, keys, invalid_key))[:Ecap]
+        )
+        fid4 = (jnp.arange(4 * F, dtype=jnp.int32) // 4)
+        cfid = jnp.zeros((Ecap + 1,), jnp.int32).at[slot].set(fid4)[:Ecap]
+        order = jnp.argsort(ckeys)
+        sorted_keys = jnp.take(ckeys, order)
+        entry_fid = jnp.take(cfid, order)
+        E = Ecap
+    else:
+        order = jnp.argsort(keys)
+        sorted_keys = jnp.take(keys, order)
+        entry_fid = (order // 4).astype(jnp.int32)
+        E = 4 * F
     valid_e = sorted_keys < invalid_key
 
-    E = 4 * F
     Ep = -(-E // chunk) * chunk
     pad_e = Ep - E
 
@@ -221,9 +252,11 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
     offsets = jnp.searchsorted(sorted_keys, bounds, side="left").astype(jnp.int32)
 
     # Overflow segment: z-sorted (ascending => exact monotone early-exit).
-    okey = jnp.where(overflow, zq, jnp.int32(1 << 30))
+    # Includes compaction-demoted faces (lost): tested against every ray,
+    # so their partial tile entries can never cause a missed hit.
+    okey = jnp.where(overflow | lost, zq, jnp.int32(1 << 30))
     oorder = jnp.argsort(okey).astype(jnp.int32)
-    o_count = jnp.sum(overflow.astype(jnp.int32))
+    o_count = jnp.sum((overflow | lost).astype(jnp.int32))
     Op = -(-F // chunk) * chunk
     pad_o = Op - F
     rank = jnp.arange(F, dtype=jnp.int32)
@@ -380,6 +413,7 @@ def intersect_coords_pinhole_core(
     t_max: float = np.inf,
     coord_hull=None,
     return_dirs: bool = False,
+    compact: bool = True,
 ):
     """Unjitted trace body (embed inside a caller's jit / shard_map).
 
@@ -414,7 +448,8 @@ def intersect_coords_pinhole_core(
         coord_hull = jnp.asarray(coord_hull, jnp.float32)
         cmin, cmax = coord_hull[0], coord_hull[1]
     tables = _bin_faces(
-        vertices, faces, camCv2world, K, cmin, cmax, W, H, tile_px, chunk
+        vertices, faces, camCv2world, K, cmin, cmax, W, H, tile_px, chunk,
+        compact=compact,
     )
     best_t, best_e = _traverse(
         tables, origins, dirs, coords,
@@ -451,7 +486,8 @@ def intersect_coords_pinhole_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("W", "H", "tile_px", "ray_tile", "chunk", "t_max"),
+    static_argnames=("W", "H", "tile_px", "ray_tile", "chunk", "t_max",
+                     "compact"),
 )
 def intersect_coords_pinhole(
     vertices,
@@ -466,6 +502,7 @@ def intersect_coords_pinhole(
     ray_tile: int = 1024,
     chunk: int = 256,
     t_max: float = np.inf,
+    compact: bool = True,
 ):
     """Nearest-hit trace of the pinhole rays through pixel `coords` [L,2].
 
@@ -484,5 +521,5 @@ def intersect_coords_pinhole(
     return intersect_coords_pinhole_core(
         vertices, faces, camCv2world, K, coords,
         W=W, H=H, tile_px=tile_px, ray_tile=ray_tile, chunk=chunk,
-        t_max=t_max,
+        t_max=t_max, compact=compact,
     )

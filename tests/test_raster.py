@@ -246,3 +246,75 @@ def test_zoomed_in_spans_overflow():
     coords = pixel_grid_coords(H, W)
     coords = coords[pixel_morton_order(coords)]
     _compare(m, cam, K, coords, H, W)
+
+
+def test_compact_bit_equal_to_slot_major():
+    """Entry compaction (the default) must not change a single bit when
+    nothing demotes: cumsum positions preserve slot-major order, and the
+    stable argsort therefore sees the same tie order."""
+    m = _sorted_blob(4)
+    H = W = 128
+    cam = _look_at_cam(np.array([0.4, -2.7, 0.9]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    a = intersect_coords_pinhole(
+        m.vertices, m.faces, cam, K, coords, W=W, H=H, compact=True
+    )
+    b = intersect_coords_pinhole(
+        m.vertices, m.faces, cam, K, coords, W=W, H=H, compact=False
+    )
+    assert (np.asarray(a.valid) == np.asarray(b.valid)).all()
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.face_idx), np.asarray(b.face_idx))
+    np.testing.assert_array_equal(np.asarray(a.bary), np.asarray(b.bary))
+
+
+def test_compact_cap_demotes_to_overflow():
+    """Engineered worst case for the entry cap: an 8x8 grid of 36px quads at
+    32px pitch, each straddling one tile border in u AND v (36px + the ~3px
+    conservative margin still fits a two-tile window) — every one of the 128
+    triangles emits 4 entries (512 > the 2F=256 cap), so compaction must
+    demote faces to the exact overflow segment and still lose no hits."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops.raster import _bin_faces
+
+    H = W = 320
+    f, z = 100.0, 2.0
+    cam = np.eye(4, dtype=np.float32)
+    K = np.array([[f, 0, 0.0], [0, f, 0.0], [0, 0, 1]], np.float32)
+
+    verts, faces = [], []
+    for gy in range(8):
+        for gx in range(8):
+            u0, v0 = 26.0 + 32 * gx, 26.0 + 32 * gy
+            u1, v1 = u0 + 36.0, v0 + 36.0
+            # pixel -> world at depth z: x = u * z / f
+            c = [(u0, v0), (u1, v0), (u1, v1), (u0, v1)]
+            i = len(verts)
+            verts += [[u * z / f, v * z / f, z] for (u, v) in c]
+            faces += [[i, i + 1, i + 2], [i, i + 2, i + 3]]
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int32)
+
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    cmin = jnp.asarray(coords.min(0), jnp.float32)
+    cmax = jnp.asarray(coords.max(0), jnp.float32)
+
+    t_c = _bin_faces(jnp.asarray(verts, jnp.float32), jnp.asarray(faces),
+                     jnp.asarray(cam), jnp.asarray(K), cmin, cmax,
+                     W, H, 32, 256, compact=True)
+    t_nc = _bin_faces(jnp.asarray(verts, jnp.float32), jnp.asarray(faces),
+                      jnp.asarray(cam), jnp.asarray(K), cmin, cmax,
+                      W, H, 32, 256, compact=False)
+    assert int(t_nc.o_chunks) == 0          # all faces binnable, none wide
+    assert int(t_c.o_chunks) >= 1           # cap overflow => demotion fired
+
+    class M:
+        pass
+
+    m = M()
+    m.vertices, m.faces = verts, faces
+    _compare(m, cam, K, coords, H, W)
