@@ -19,6 +19,11 @@ def parse_args():
     parser.add_argument("split", type=str)
     parser.add_argument("--uv_mesh_path", type=str, default=None)
     parser.add_argument("--background", nargs="?", type=str, default="white")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="path to an lpips_alex.npz (see "
+                        "evaluation.lpips_jax.convert_torch_weights); when "
+                        "given (or the default weights file exists) the LPIPS"
+                        " column is computed instead of NaN")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard each render over a device mesh (ray axis)")
     return parser.parse_args()
@@ -36,7 +41,8 @@ def main():
 
     config = load_config(args.config_path)
     evaluate_views(args.output_path, config, args.dataset_path, args.split,
-                   background=args.background, n_devices=args.num_devices)
+                   background=args.background, n_devices=args.num_devices,
+                   lpips_weights_path=args.lpips_weights)
 
 
 if __name__ == "__main__":

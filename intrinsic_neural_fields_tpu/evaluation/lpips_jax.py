@@ -109,8 +109,10 @@ class LPIPS:
         f1 = self._features(to_nchw(real_img))
         total = 0.0
         for i, (a, b) in enumerate(zip(f0, f1)):
-            na = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
-            nb = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
+            # Upstream lpips normalize_tensor adds eps OUTSIDE the sqrt:
+            # x / (sqrt(sum(x^2)) + 1e-10).
+            na = a / (jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True)) + 1e-10)
+            nb = b / (jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True)) + 1e-10)
             diff = (na - nb) ** 2
             lin = jnp.asarray(self._weights[f"lin{i}_w"]).reshape(1, -1, 1, 1)
             total = total + jnp.mean(jnp.sum(diff * lin, axis=1))
