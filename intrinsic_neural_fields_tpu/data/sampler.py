@@ -41,6 +41,11 @@ class RayData:
     # precompute_hit_features): turns the per-step 3-row vertex gather into a
     # single-row gather / contiguous stream. Bitwise-identical math.
     hit_features: Optional[jnp.ndarray] = None
+    # Optional [N, venc_pad] pre-encoded view directions (see
+    # precompute_hit_vencs): the view-dependent family's directional encoding
+    # is a fixed function of the cached hit, so the fused train kernel
+    # streams these rows next to hit_features.
+    hit_vencs: Optional[jnp.ndarray] = None
 
     @property
     def n(self):
@@ -55,13 +60,16 @@ class RayData:
             self.unit_ray_dirs,
             self.face_idxs,
             self.hit_features,
+            self.hit_vencs,
         )
         return children, self.feature_strategy
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        features, vids, bary, rgbs, dirs, fidx, hit_features = children
-        return cls(features, aux, vids, bary, rgbs, dirs, fidx, hit_features)
+        (features, vids, bary, rgbs, dirs, fidx, hit_features,
+         hit_vencs) = children
+        return cls(features, aux, vids, bary, rgbs, dirs, fidx, hit_features,
+                   hit_vencs)
 
 
 def parse_precompute_dtype(dtype):
@@ -127,6 +135,7 @@ def precompute_hit_features(data: RayData, chunk=1 << 16, dtype=None):
         unit_ray_dirs=data.unit_ray_dirs,
         face_idxs=data.face_idxs,
         hit_features=hit_features,
+        hit_vencs=data.hit_vencs,
     )
 
 
@@ -309,3 +318,51 @@ def slice_batch(data: RayData, start, batch_size):
         batch["unit_ray_dirs"] = take(data.unit_ray_dirs)
         batch["hit_face_idxs"] = take(data.face_idxs)
     return batch
+
+
+def precompute_hit_vencs(view_encoder, data: RayData, venc_pad, chunk=1 << 16,
+                         dtype=None):
+    """RayData with hit_vencs = the view-dependent directional encoding of
+    every cached hit, padded to `venc_pad` lanes with zeros.
+
+    view_encoder: models/texture_field.view_encoder_apply(model) — a FIXED
+    function of (unit_ray_dirs, hit_face_idxs), both cached per hit, so like
+    pre-embedding this is exact and turns the view-dependent family into a
+    streamable fused-kernel workload (ops/fused_mlp tail mode). dtype:
+    storage dtype (bf16 halves the stream bandwidth; the kernel's matmuls
+    ingest bf16 anyway).
+    """
+    import jax
+    from jax import lax
+
+    assert data.unit_ray_dirs is not None and data.face_idxs is not None, (
+        "view-dependent pre-encoding needs cached ray dirs + hit face ids"
+    )
+    n = data.n
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    dirs = jnp.pad(data.unit_ray_dirs, ((0, pad), (0, 0))).reshape(
+        n_chunks, chunk, 3)
+    fids = jnp.pad(data.face_idxs, (0, pad)).reshape(n_chunks, chunk)
+
+    @jax.jit
+    def run(dirs, fids):
+        def one(args):
+            enc = view_encoder(*args)
+            enc = jnp.pad(enc, ((0, 0), (0, venc_pad - enc.shape[1])))
+            return enc if dtype is None else enc.astype(dtype)
+
+        return lax.map(one, (dirs, fids))
+
+    vencs = run(dirs, fids).reshape(-1, venc_pad)[:n]
+    return RayData(
+        features=data.features,
+        feature_strategy=data.feature_strategy,
+        vertex_idxs_of_hit_faces=data.vertex_idxs_of_hit_faces,
+        barycentric_coords=data.barycentric_coords,
+        expected_rgbs=data.expected_rgbs,
+        unit_ray_dirs=data.unit_ray_dirs,
+        face_idxs=data.face_idxs,
+        hit_features=data.hit_features,
+        hit_vencs=vencs,
+    )

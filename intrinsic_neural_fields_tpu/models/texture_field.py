@@ -58,6 +58,12 @@ class TextureField(nn.Module):
     out_dim: int = RGB_COLOR_DIM
     batchnorm: bool = False
     activation: Any = "relu"
+    # Cross-replica BatchNorm: when set (the data-parallel path clones the
+    # model with the mesh axis name), batch statistics are pmean'd over the
+    # axis so every device normalizes with the GLOBAL batch stats and the
+    # running stats stay replicated (sync-BN; the reference's DataParallel
+    # equivalent, train.py:46-48 + model.py:44-51).
+    bn_axis_name: Optional[str] = None
 
     def setup(self):
         assert self.num_layers > 2 and 0 < self.skip_layer_idx < self.num_layers - 1
@@ -91,7 +97,8 @@ class TextureField(nn.Module):
             # BatchNorm AFTER the activation, torch-default momentum
             # (reference model.py:44-51, layers.py:56-62).
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                axis_name=self.bn_axis_name,
             )(h)
 
         h = features
@@ -159,7 +166,35 @@ def mlp_core_view(model):
         out_dim=model.out_dim,
         batchnorm=model.batchnorm,
         activation=model.activation,
+        bn_axis_name=model.bn_axis_name,
     )
+
+
+def view_encoder_apply(model):
+    """Pure function (unit_ray_dirs [N,3], hit_face_idxs [N]) -> the
+    view-direction encoding TextureFieldWithViewDependency concatenates to
+    its bottleneck (reference model.py:175-184). The encoding holds no
+    trainable parameters (Fourier bands are constants; face normals are a
+    fixed buffer), so — like input_encoder_apply — it can be evaluated
+    outside the module, which is what lets the fused inference kernel cover
+    this family (ops/fused_mlp.make_fused_apply_viewdep)."""
+    enc = FourierFeatEnc(
+        model.view_dir_embedding_size,
+        include_input=model.include_view_dir,
+        use_logspace=True,
+    )
+    if model.view_dir_strategy == "intrinsic":
+        normals = jnp.asarray(model.face_normals, jnp.float32)
+
+        def fn(dirs, face_idxs):
+            hit_face_normals = jnp.take(normals, face_idxs, axis=0)
+            angles = calculate_angle_between_vectors(-dirs, hit_face_normals)
+            return enc.apply({}, angles[..., None])
+
+        return fn
+    if model.view_dir_strategy == "extrinsic":
+        return lambda dirs, face_idxs: enc.apply({}, dirs)
+    raise RuntimeError("Unknown viewing direction strategy.")
 
 
 def calculate_angle_between_vectors(a, b):
@@ -193,6 +228,7 @@ class TextureFieldWithViewDependency(nn.Module):
     view_dir_strategy: str = "intrinsic"
     batchnorm: bool = False
     activation: Any = "relu"
+    bn_axis_name: Optional[str] = None  # see TextureField.bn_axis_name
 
     def _embedded_view_dir(self, batch):
         enc = FourierFeatEnc(
@@ -230,6 +266,7 @@ class TextureFieldWithViewDependency(nn.Module):
             out_dim=self.bottleneck_vec_dim,
             batchnorm=self.batchnorm,
             activation=self.activation,
+            bn_axis_name=self.bn_axis_name,
             name="spatial_mlp",
         )
         bottleneck = spatial(batch, train=train)

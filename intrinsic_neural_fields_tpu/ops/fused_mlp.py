@@ -188,6 +188,20 @@ def _mm_nt(a, b):
                            preferred_element_type=jnp.float32)
 
 
+def _skip_wcat(wb, w):
+    """Skip-layer weights [Wh; Wx] stacked along K, pre-cast for the MXU.
+
+    The skip layer computes relu(h@Wh + x@Wx + bh + bx). As two separate
+    contractions each matmul is only K=hidden (128) deep and the systolic
+    array spends most of its time in fill/drain (RESULTS.md roofline: the
+    training kernel sat at ~36% MXU). Concatenating [h|x] against [Wh;Wx]
+    yields ONE K=(hidden+k_pad)-deep contraction — same math up to f32
+    accumulation order, much better amortization (VERDICT r4 next-#2)."""
+    return jnp.concatenate(
+        [wb[w].astype(_MM_IN), wb[w + 2].astype(_MM_IN)], axis=0
+    )
+
+
 def _forward_layers(spec, x, wb):
     """Shared fwd chain. Returns (pre-sigmoid output, activations list).
 
@@ -200,9 +214,13 @@ def _forward_layers(spec, x, wb):
     w = 0
     for i in range(spec.num_layers - 1):
         if i == spec.skip_idx:
-            Wh, bh, Wx, bx = wb[w], wb[w + 1], wb[w + 2], wb[w + 3]
+            bh, bx = wb[w + 1], wb[w + 3]
+            Wcat = _skip_wcat(wb, w)
             w += 4
-            h = jnp.maximum(_mm(h, Wh) + bh + _mm(x, Wx) + bx, 0.0)
+            hx = jnp.concatenate(
+                [h.astype(_MM_IN), x.astype(_MM_IN)], axis=1
+            )
+            h = jnp.maximum(_mm(hx, Wcat) + bh + bx, 0.0)
         else:
             W, b = wb[w], wb[w + 1]
             w += 2
@@ -268,10 +286,17 @@ def _make_bwd_kernel(spec):
             # f32 cast before the compare: Mosaic has no bf16 vector cmp
             d = d * (h_out.astype(jnp.float32) > 0.0)
             if n == 4:
-                acc(grad_refs[w], _mm_tn(h_in, d))          # dWh
-                acc(grad_refs[w + 1], jnp.sum(d, 0, keepdims=True))
-                acc(grad_refs[w + 2], _mm_tn(x, d))         # dWx (input branch)
-                acc(grad_refs[w + 3], jnp.sum(d, 0, keepdims=True))
+                # one K-deep gradient contraction [h|x]^T d, split into
+                # dWh (rows :hidden) / dWx (rows hidden:) — see _skip_wcat
+                hx = jnp.concatenate(
+                    [h_in.astype(_MM_IN), x.astype(_MM_IN)], axis=1
+                )
+                dcat = _mm_tn(hx, d)
+                db = jnp.sum(d, 0, keepdims=True)
+                acc(grad_refs[w], dcat[: spec.hidden])      # dWh
+                acc(grad_refs[w + 1], db)
+                acc(grad_refs[w + 2], dcat[spec.hidden :])  # dWx (input branch)
+                acc(grad_refs[w + 3], db)
                 d = _mm_nt(d, wb[w])                        # continue via Wh
             else:
                 acc(grad_refs[w], _mm_tn(h_in, d))
@@ -307,19 +332,30 @@ def _loss_elem(loss_type, pred, gt):
 
 
 def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
-                      acc, n_total, interleave=1):
+                      acc, n_total, interleave=1, skip_concat=False,
+                      tail=None, venc=None):
     """Forward + loss + backward + gradient accumulation on one batch tile —
     the shared body of make_fused_train_grads and make_fused_train_adam.
+
+    tail/venc: view-dependent mode (TextureFieldWithViewDependency,
+    reference model.py:123-191). The spatial chain's head becomes the relu
+    BOTTLENECK, venc [T, venc_pad] carries the pre-encoded view directions
+    (fixed per cached hit — models/texture_field.view_encoder_apply), and a
+    2-layer directional head produces the rgb. wb/grad_refs gain the four
+    tail operands [Wcat1, b1, W2, b2] (viewdep_params_to_list layout); the
+    tail backward seeds the spatial backward with the delta at the
+    bottleneck pre-activation, after which the spatial walk is unchanged.
 
     interleave=S splits the tile into S row chunks and emits the layer chain
     for all S chunks in lockstep: chunk j+1's matmul has no data dependence
     on chunk j's, so the MXU can start filling while chunk j drains and while
-    the VPU applies chunk j's bias+relu. At S=1 the op sequence is exactly
-    the historical body (bit-identical). At S>1 each weight gradient becomes
+    the VPU applies chunk j's bias+relu. At S>1 each weight gradient becomes
     a sum of S partial batch contractions — results differ from S=1 by f32
     reassociation only (the per-chunk math is unchanged). Motivation:
     RESULTS.md's roofline decomposition puts the S=1 training kernel at ~32%
-    MXU efficiency, bound by the serial dependence of 128-wide matmuls.
+    MXU efficiency, bound by the serial dependence of 128-wide matmuls. The
+    skip layer is additionally computed as ONE [tile, hidden+k_pad] deep
+    contraction rather than two 128-deep ones (see _skip_wcat).
     """
     S = interleave
     T = x.shape[0]
@@ -327,6 +363,9 @@ def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
     C = T // S
     xs = [x[j * C:(j + 1) * C] for j in range(S)]
     gts = [gt[j * C:(j + 1) * C] for j in range(S)]
+    vcs = None
+    if tail is not None:
+        vcs = [venc[j * C:(j + 1) * C].astype(_MM_IN) for j in range(S)]
 
     def _sum(vals):
         tot = vals[0]
@@ -342,7 +381,23 @@ def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
         if i == spec.skip_idx:
             Wh, bh, Wx, bx = wb[w], wb[w + 1], wb[w + 2], wb[w + 3]
             w += 4
-            pre = [_mm(hs[j], Wh) + bh + _mm(xs[j], Wx) + bx for j in range(S)]
+            if skip_concat:  # True or "fwd"
+                Wcat = _skip_wcat(wb, w - 4)
+                pre = [
+                    _mm(
+                        jnp.concatenate(
+                            [hs[j].astype(_MM_IN), xs[j].astype(_MM_IN)],
+                            axis=1,
+                        ),
+                        Wcat,
+                    )
+                    + bh + bx
+                    for j in range(S)
+                ]
+            else:
+                pre = [
+                    _mm(hs[j], Wh) + bh + _mm(xs[j], Wx) + bx for j in range(S)
+                ]
         else:
             W, b = wb[w], wb[w + 1]
             w += 2
@@ -351,13 +406,30 @@ def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
         for j in range(S):
             acts[j].append(hs[j].astype(jnp.bfloat16))
     Wo, bo = wb[w], wb[w + 1]
-    preds = [jax.nn.sigmoid(_mm(hs[j], Wo) + bo) for j in range(S)]
+    if tail is None:
+        preds = [jax.nn.sigmoid(_mm(hs[j], Wo) + bo) for j in range(S)]
+    else:
+        n_sp = w + 2
+        Wc1, b1, W2, b2 = wb[n_sp], wb[n_sp + 1], wb[n_sp + 2], wb[n_sp + 3]
+        bnecks = [
+            jnp.maximum(_mm(hs[j], Wo) + bo, 0.0).astype(jnp.bfloat16)
+            for j in range(S)
+        ]  # relu feature head -> bottleneck (saved bf16 for the backward)
+        h1s = [
+            jnp.maximum(
+                _mm(jnp.concatenate([bnecks[j], vcs[j]], axis=1), Wc1) + b1,
+                0.0,
+            ).astype(jnp.bfloat16)
+            for j in range(S)
+        ]
+        preds = [jax.nn.sigmoid(_mm(h1s[j], W2) + b2) for j in range(S)]
 
+    out_dim = spec.out_dim if tail is None else tail.rgb_dim
     # loss + metric sums over the real output columns; seed the deltas
     loss_vals, sq_vals, ds = [], [], []
     for j in range(S):
         col = lax.broadcasted_iota(jnp.int32, preds[j].shape, 1)
-        valid = col < spec.out_dim
+        valid = col < out_dim
         loss_vals.append(
             jnp.sum(jnp.where(valid, _loss_elem(loss_type, preds[j], gts[j]), 0.0))
         )
@@ -377,6 +449,32 @@ def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
         w += n
     out_slot = w
 
+    if tail is not None:
+        # Directional-head backward; its output delta (w.r.t. the bottleneck
+        # PRE-activation) then drives the unchanged spatial walk below.
+        acc(grad_refs[n_sp + 2],
+            _sum([_mm_tn(h1s[j], ds[j]) for j in range(S)]))
+        acc(grad_refs[n_sp + 3],
+            _sum([jnp.sum(ds[j], 0, keepdims=True) for j in range(S)]))
+        d1s = [
+            _mm_nt(ds[j], W2) * (h1s[j].astype(jnp.float32) > 0.0)
+            for j in range(S)
+        ]
+        acc(grad_refs[n_sp],
+            _sum([
+                _mm_tn(
+                    jnp.concatenate([bnecks[j], vcs[j]], axis=1), d1s[j]
+                )
+                for j in range(S)
+            ]))
+        acc(grad_refs[n_sp + 1],
+            _sum([jnp.sum(d1s[j], 0, keepdims=True) for j in range(S)]))
+        W1b = Wc1[: spec.out_pad]
+        ds = [
+            _mm_nt(d1s[j], W1b) * (bnecks[j].astype(jnp.float32) > 0.0)
+            for j in range(S)
+        ]
+
     acc(grad_refs[out_slot],
         _sum([_mm_tn(acts[j][-1], ds[j]) for j in range(S)]))
     acc(grad_refs[out_slot + 1],
@@ -387,19 +485,41 @@ def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
         ds = [
             ds[j] * (acts[j][i + 1].astype(jnp.float32) > 0.0) for j in range(S)
         ]
-        acc(grad_refs[w], _sum([_mm_tn(acts[j][i], ds[j]) for j in range(S)]))
-        acc(grad_refs[w + 1],
-            _sum([jnp.sum(ds[j], 0, keepdims=True) for j in range(S)]))
-        if n == 4:
-            acc(grad_refs[w + 2], _sum([_mm_tn(xs[j], ds[j]) for j in range(S)]))
-            acc(grad_refs[w + 3],
-                _sum([jnp.sum(ds[j], 0, keepdims=True) for j in range(S)]))
+        db = _sum([jnp.sum(ds[j], 0, keepdims=True) for j in range(S)])
+        if n == 4 and skip_concat is True:  # "fwd" keeps the split backward
+            # fused [h|x]^T d contraction, split rows into dWh / dWx
+            dcats = [
+                _mm_tn(
+                    jnp.concatenate(
+                        [acts[j][i].astype(_MM_IN), xs[j].astype(_MM_IN)],
+                        axis=1,
+                    ),
+                    ds[j],
+                )
+                for j in range(S)
+            ]
+            acc(grad_refs[w], _sum([dc[: spec.hidden] for dc in dcats]))
+            acc(grad_refs[w + 1], db)
+            acc(grad_refs[w + 2], _sum([dc[spec.hidden :] for dc in dcats]))
+            acc(grad_refs[w + 3], db)
+        elif n == 4:
+            acc(grad_refs[w],
+                _sum([_mm_tn(acts[j][i], ds[j]) for j in range(S)]))
+            acc(grad_refs[w + 1], db)
+            acc(grad_refs[w + 2],
+                _sum([_mm_tn(xs[j], ds[j]) for j in range(S)]))
+            acc(grad_refs[w + 3], db)
+        else:
+            acc(grad_refs[w],
+                _sum([_mm_tn(acts[j][i], ds[j]) for j in range(S)]))
+            acc(grad_refs[w + 1], db)
         if i > 0:
             ds = [_mm_nt(ds[j], wb[w]) for j in range(S)]
 
 
 def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
-                           interpret=None, stream=False, interleave=1):
+                           interpret=None, stream=False, interleave=1,
+                           skip_concat=True, tail=None):
     """ONE pallas call per training step: forward, loss, backward, gradient
     accumulation — a single HBM read of the batch, a single kernel launch.
 
@@ -410,22 +530,36 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     B must be a multiple of batch_tile (asserted).
 
     stream: the returned f becomes f(wb, feats [N,>=k_in], gt [B,out_dim],
-    start_row, batch_size) and DMAs its batch tiles straight out of the full
-    feature table in HBM at a dynamic offset (scalar-prefetched block index)
-    — no dynamic_slice copy, no pad copy of the batch in XLA (those two
-    copies measured ~30% of the fused step at the cat scale). batch_size is
-    STATIC (B; it sizes the grid); start_row is traced, must be a multiple
-    of batch_tile with start_row+B <= N — alignment is asserted when
-    start_row is a Python int and otherwise unchecked (a misaligned traced
-    offset would silently read wrong rows). Columns past
+    start_block, batch_size) and DMAs its batch tiles straight out of the
+    full feature table in HBM at a dynamic offset (scalar-prefetched block
+    index) — no dynamic_slice copy, no pad copy of the batch in XLA (those
+    two copies measured ~30% of the fused step at the cat scale). batch_size
+    is STATIC (B; it sizes the grid); start_block is traced and given in
+    UNITS OF batch_tile (the batch starts at row start_block*batch_tile,
+    which must leave start+B <= N) — block units make a misaligned row
+    offset unrepresentable. Columns past
     k_in (when k_in isn't a lane multiple, e.g. 1023 -> block width 1024)
     are DMA'd as whatever lies in the padded HBM layout and zeroed
     in-kernel before use.
+
+    skip_concat: compute the skip layer as one deep contraction (see
+    _skip_wcat) — measured -19.5%% us/step on THIS kernel at cat scale
+    (127.4 -> 102.6, RESULTS.md round 5) and therefore default-on here;
+    the in-kernel-Adam kernel measured the OPPOSITE sign (110.7 -> 119.3,
+    likely scheduling pressure from its m/v staging) and defaults off.
+
+    tail: ViewDepTailSpec — view-dependent training (see _train_grads_body).
+    wb is the viewdep_params_to_list layout; the returned f takes an extra
+    venc operand after the features: non-stream f(wb, x, venc [B,venc_pad],
+    gt), streaming f(wb, feats, vencs [N,venc_pad], gt, start_block,
+    batch_size) with vencs a second HBM table DMA'd at the same offsets.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     assert batch_tile % interleave == 0, (batch_tile, interleave)
-    n_wb = 2 * len(spec.weight_names())
+    n_wb = 2 * len(spec.weight_names()) + (4 if tail is not None else 0)
+    rgb_pad = spec.out_pad if tail is None else tail.rgb_pad
+    rgb_dim = spec.out_dim if tail is None else tail.rgb_dim
     const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def kernel(*all_refs):
@@ -433,8 +567,12 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             refs = all_refs[1:]  # all_refs[0] is the scalar-prefetch ref
         else:
             refs = all_refs
-        x_ref, gt_ref = refs[0], refs[1]
-        refs = refs[2:]
+        if tail is None:
+            x_ref, v_ref, gt_ref = refs[0], None, refs[1]
+            refs = refs[2:]
+        else:
+            x_ref, v_ref, gt_ref = refs[0], refs[1], refs[2]
+            refs = refs[3:]
         wb_refs = refs[:n_wb]
         grad_refs = refs[n_wb:-2]
         loss_ref, sq_ref = refs[-2], refs[-1]
@@ -446,9 +584,16 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             # pads with real zeros instead)
             col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
             x = jnp.where(col < spec.k_in, x, jnp.zeros_like(x))
+        venc = None
+        if tail is not None:
+            venc = v_ref[:]
+            if tail.venc_in < tail.venc_pad:
+                col = lax.broadcasted_iota(jnp.int32, venc.shape, 1)
+                venc = jnp.where(col < tail.venc_in, venc,
+                                 jnp.zeros_like(venc))
 
         step = pl.program_id(0)
-        n_total = pl.num_programs(0) * batch_tile * spec.out_dim
+        n_total = pl.num_programs(0) * batch_tile * rgb_dim
 
         def acc(ref, val):
             @pl.when(step == 0)
@@ -461,7 +606,8 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
 
         _train_grads_body(spec, loss_type, x, gt_ref[:], wb, grad_refs,
                           loss_ref, sq_ref, acc, n_total,
-                          interleave=interleave)
+                          interleave=interleave, skip_concat=skip_concat,
+                          tail=tail, venc=venc)
 
     out_shape_tail = (
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -473,13 +619,15 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         # sums over the B x out_dim REAL elements (padded cols contributed 0)
         return grads, outs[n_wb][0, 0], outs[n_wb + 1][0, 0]
 
+    def _pad_gt(gt):
+        return jnp.pad(jnp.asarray(gt, jnp.float32),
+                       ((0, 0), (0, rgb_pad - rgb_dim)))
+
     def run(wb, x, gt):
         B = x.shape[0]
         assert B % batch_tile == 0 and B > 0, (
             f"batch {B} must be a positive multiple of batch_tile {batch_tile}"
         )
-        gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
-                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
         grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
         outs = pl.pallas_call(
             kernel,
@@ -488,34 +636,55 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             in_specs=[
                 pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((batch_tile, spec.out_pad), lambda i: (i, 0),
+                pl.BlockSpec((batch_tile, rgb_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ]
             + [const_spec() for _ in range(n_wb)],
             out_specs=tuple(const_spec() for _ in range(n_wb + 2)),
             interpret=interpret,
-        )(x, gt_pad, *wb)
+        )(x, _pad_gt(gt), *wb)
         return _unpack(outs)
 
-    def run_streaming(wb, feats, gt, start_row, batch_size):
-        assert batch_size % batch_tile == 0 and batch_size > 0
-        if isinstance(start_row, int):
-            assert start_row % batch_tile == 0, (
-                f"start_row {start_row} must be a multiple of batch_tile "
-                f"{batch_tile} (the DMA block index truncates otherwise)"
-            )
-        gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
-                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
+    def run_viewdep(wb, x, venc, gt):
+        B = x.shape[0]
+        assert B % batch_tile == 0 and B > 0, (B, batch_tile)
+        assert venc.shape == (B, tail.venc_pad), (venc.shape, tail.venc_pad)
         grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
-        # block-index offset of the batch inside the feature table
-        off = (jnp.asarray(start_row, jnp.int32) // batch_tile).reshape(1)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(grad_shapes) + out_shape_tail,
+            grid=(B // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch_tile, tail.venc_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch_tile, rgb_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [const_spec() for _ in range(n_wb)],
+            out_specs=tuple(const_spec() for _ in range(n_wb + 2)),
+            interpret=interpret,
+        )(x, venc, _pad_gt(gt), *wb)
+        return _unpack(outs)
+
+    def run_streaming(wb, feats, gt, start_block, batch_size):
+        # start_block: batch offset in units of batch_tile (the batch begins
+        # at feats row start_block * batch_tile). The offset is taken in
+        # BLOCK units by contract — a row-based API would silently truncate
+        # a misaligned traced offset to the enclosing block and train on
+        # wrong rows (VERDICT r4 weak #5); in block units misalignment is
+        # unrepresentable.
+        assert batch_size % batch_tile == 0 and batch_size > 0
+        grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        off = jnp.asarray(start_block, jnp.int32).reshape(1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch_size // batch_tile,),
             in_specs=[
                 pl.BlockSpec((batch_tile, spec.k_pad),
                              lambda i, off: (off[0] + i, 0)),
-                pl.BlockSpec((batch_tile, spec.out_pad), lambda i, off: (i, 0)),
+                pl.BlockSpec((batch_tile, rgb_pad), lambda i, off: (i, 0)),
             ]
             # weights/grads/scalars: full-array VMEM residents — a blocked
             # spec would double-buffer them across grid steps (measured +6MB
@@ -531,21 +700,53 @@ def make_fused_train_grads(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
             out_shape=tuple(grad_shapes) + out_shape_tail,
             grid_spec=grid_spec,
             interpret=interpret,
-        )(off, feats, gt_pad, *wb)
+        )(off, feats, _pad_gt(gt), *wb)
         return _unpack(outs)
 
+    def run_streaming_viewdep(wb, feats, vencs, gt, start_block, batch_size):
+        assert batch_size % batch_tile == 0 and batch_size > 0
+        assert vencs.shape[1] == tail.venc_pad, (vencs.shape, tail.venc_pad)
+        grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
+        off = jnp.asarray(start_block, jnp.int32).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch_size // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad),
+                             lambda i, off: (off[0] + i, 0)),
+                pl.BlockSpec((batch_tile, tail.venc_pad),
+                             lambda i, off: (off[0] + i, 0)),
+                pl.BlockSpec((batch_tile, rgb_pad), lambda i, off: (i, 0)),
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in wb],
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(n_wb + 2)
+            ),
+        )
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(grad_shapes) + out_shape_tail,
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(off, feats, vencs, _pad_gt(gt), *wb)
+        return _unpack(outs)
+
+    if tail is not None:
+        return run_streaming_viewdep if stream else run_viewdep
     return run_streaming if stream else run
 
 
 def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
-                          interpret=None, interleave=1):
+                          interpret=None, interleave=1, skip_concat=False,
+                          tail=None):
     """The streaming fused step with the ADAM UPDATE FOLDED INTO THE KERNEL:
     forward, loss, backward, gradient accumulation, and the optimizer update
     run as ONE pallas call — gradients never leave VMEM, and the optax tree
     update (measured ~23 us/step of the 97.6 us fused step at cat scale,
     RESULTS.md) disappears from the step entirely.
 
-    Returns f(wb, m, v, hyper, feats, gt, start_row, batch_size) ->
+    Returns f(wb, m, v, hyper, feats, gt, start_block, batch_size) ->
       (new_wb list, new_m list, new_v list, loss_sum, sq_sum)
 
     wb/m/v: padded kernel-layout lists (params_to_list layout; m/v are the
@@ -575,7 +776,9 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         interpret = jax.default_backend() == "cpu"
     assert batch_tile % interleave == 0, (batch_tile, interleave)
     names = spec.weight_names()
-    n_wb = 2 * len(names)
+    n_wb = 2 * len(names) + (4 if tail is not None else 0)
+    rgb_pad = spec.out_pad if tail is None else tail.rgb_pad
+    rgb_dim = spec.out_dim if tail is None else tail.rgb_dim
 
     # kernel-layout shapes, in wb order (W, b alternating)
     shapes = []
@@ -587,6 +790,11 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         else:
             shapes.append((spec.hidden, spec.hidden))
         shapes.append((1, spec.out_pad if role == "out" else spec.hidden))
+    if tail is not None:
+        shapes.append((spec.out_pad + tail.venc_pad, tail.d_hidden))
+        shapes.append((1, tail.d_hidden))
+        shapes.append((tail.d_hidden, tail.rgb_pad))
+        shapes.append((1, tail.rgb_pad))
     stage_shape = (
         max(s[0] for s in shapes), max(s[1] for s in shapes)
     )
@@ -594,8 +802,12 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
     def kernel(*all_refs):
         off_ref = all_refs[0]  # scalar prefetch (block offset)
         refs = all_refs[1:]
-        x_ref, gt_ref = refs[0], refs[1]
-        refs = refs[2:]
+        if tail is None:
+            x_ref, v_ref, gt_ref = refs[0], None, refs[1]
+            refs = refs[2:]
+        else:
+            x_ref, v_ref, gt_ref = refs[0], refs[1], refs[2]
+            refs = refs[3:]
         wb_refs = refs[:n_wb]
         # inputs m/v (ANY, aliased to the outputs) are accessed through the
         # output refs — same buffers
@@ -615,10 +827,17 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         if spec.k_in < spec.k_pad:
             col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
             x = jnp.where(col < spec.k_in, x, jnp.zeros_like(x))
+        venc = None
+        if tail is not None:
+            venc = v_ref[:]
+            if tail.venc_in < tail.venc_pad:
+                col = lax.broadcasted_iota(jnp.int32, venc.shape, 1)
+                venc = jnp.where(col < tail.venc_in, venc,
+                                 jnp.zeros_like(venc))
 
         step = pl.program_id(0)
         num_programs = pl.num_programs(0)
-        n_total = num_programs * batch_tile * spec.out_dim
+        n_total = num_programs * batch_tile * rgb_dim
 
         def acc(ref, val):
             @pl.when(step == 0)
@@ -631,7 +850,8 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
 
         _train_grads_body(spec, loss_type, x, gt_ref[:], wb, grad_refs,
                           loss_ref, sq_ref, acc, n_total,
-                          interleave=interleave)
+                          interleave=interleave, skip_concat=skip_concat,
+                          tail=tail, venc=venc)
 
         @pl.when(step == num_programs - 1)
         def _adam():
@@ -685,23 +905,36 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
     )
 
-    def run(wb, m, v, hyper, feats, gt, start_row, batch_size):
+    def _run(wb, m, v, hyper, feats, vencs, gt, start_block, batch_size):
+        # start_block in units of batch_tile — see make_fused_train_grads'
+        # run_streaming for why the offset contract is block-based.
         assert batch_size % batch_tile == 0 and batch_size > 0
-        if isinstance(start_row, int):
-            assert start_row % batch_tile == 0
         gt_pad = jnp.pad(jnp.asarray(gt, jnp.float32),
-                         ((0, 0), (0, spec.out_pad - spec.out_dim)))
+                         ((0, 0), (0, rgb_pad - rgb_dim)))
         wb_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wb]
-        off = (jnp.asarray(start_row, jnp.int32) // batch_tile).reshape(1)
+        off = jnp.asarray(start_block, jnp.int32).reshape(1)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        n_data = 2 if tail is None else 3
+        data_specs = [
+            pl.BlockSpec((batch_tile, spec.k_pad),
+                         lambda i, off: (off[0] + i, 0)),
+        ]
+        data_ops = [feats]
+        if tail is not None:
+            assert vencs.shape[1] == tail.venc_pad, (vencs.shape, tail)
+            data_specs.append(
+                pl.BlockSpec((batch_tile, tail.venc_pad),
+                             lambda i, off: (off[0] + i, 0))
+            )
+            data_ops.append(vencs)
+        data_specs.append(
+            pl.BlockSpec((batch_tile, rgb_pad), lambda i, off: (i, 0))
+        )
+        data_ops.append(gt_pad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch_size // batch_tile,),
-            in_specs=[
-                pl.BlockSpec((batch_tile, spec.k_pad),
-                             lambda i, off: (off[0] + i, 0)),
-                pl.BlockSpec((batch_tile, spec.out_pad), lambda i, off: (i, 0)),
-            ]
+            in_specs=data_specs
             + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in wb]   # weights
             + [any_spec for _ in range(2 * n_wb)]                   # m, v
             + [pl.BlockSpec(memory_space=pltpu.VMEM)],              # hyper
@@ -716,26 +949,34 @@ def make_fused_train_adam(spec: FusedMLPSpec, loss_type="L1", batch_tile=1024,
                 pltpu.SemaphoreType.DMA,
             ],
         )
-        # flat input order: [off, x, gt, wb*(n_wb), m*(n_wb), v*(n_wb), hyper]
+        # flat input order: [off, x(, venc), gt, wb*, m*, v*, hyper]
         # aliases: wb_i -> out i, m_i -> out n_wb+i, v_i -> out 2*n_wb+i
         aliases = {}
         for i in range(n_wb):
-            aliases[3 + i] = i
-            aliases[3 + n_wb + i] = n_wb + i
-            aliases[3 + 2 * n_wb + i] = 2 * n_wb + i
+            aliases[1 + n_data + i] = i
+            aliases[1 + n_data + n_wb + i] = n_wb + i
+            aliases[1 + n_data + 2 * n_wb + i] = 2 * n_wb + i
         outs = pl.pallas_call(
             kernel,
             out_shape=tuple(wb_shapes) * 3 + out_shape_tail,
             grid_spec=grid_spec,
             input_output_aliases=aliases,
             interpret=interpret,
-        )(off, feats, gt_pad, *wb, *m, *v, hyper)
+        )(off, *data_ops, *wb, *m, *v, hyper)
         new_wb = list(outs[:n_wb])
         new_m = list(outs[n_wb:2 * n_wb])
         new_v = list(outs[2 * n_wb:3 * n_wb])
         return new_wb, new_m, new_v, outs[3 * n_wb][0, 0], outs[3 * n_wb + 1][0, 0]
 
-    return run
+    def run(wb, m, v, hyper, feats, gt, start_block, batch_size):
+        return _run(wb, m, v, hyper, feats, None, gt, start_block, batch_size)
+
+    def run_viewdep(wb, m, v, hyper, feats, vencs, gt, start_block,
+                    batch_size):
+        return _run(wb, m, v, hyper, feats, vencs, gt, start_block,
+                    batch_size)
+
+    return run_viewdep if tail is not None else run
 
 
 def adam_hyper_rows(counts, learning_rate, b1=0.9, b2=0.999, eps=1e-8,
@@ -829,6 +1070,178 @@ def make_fused_adam_apply(spec: FusedMLPSpec, interpret=None):
         return list(outs[:n_wb]), list(outs[n_wb:2 * n_wb]), list(outs[2 * n_wb:])
 
     return run
+
+
+@dataclass(frozen=True)
+class ViewDepTailSpec:
+    """Directional tail of TextureFieldWithViewDependency (reference
+    model.py:168-191): concat(bottleneck, encoded view dir) -> Dense ->
+    relu -> Dense(3) -> sigmoid. The spatial FusedMLPSpec's out_dim is the
+    bottleneck width (relu feature head, return_rgb=False)."""
+
+    venc_in: int        # encoded view-dir dim (unpadded)
+    d_hidden: int       # directional hidden width (lane multiple)
+    rgb_dim: int = 3
+
+    @property
+    def venc_pad(self):
+        return _round_up(self.venc_in, 128)
+
+    @property
+    def rgb_pad(self):
+        return _round_up(self.rgb_dim, 128)
+
+
+def viewdep_params_to_list(spec: FusedMLPSpec, tail: ViewDepTailSpec,
+                           flax_params):
+    """TextureFieldWithViewDependency params -> kernel operand list.
+
+    Layout: the spatial_mlp's padded [W, b] list (params_to_list layout, its
+    'out' Dense being the bottleneck head) followed by
+    [Wcat1, b1, W2, b2] where Wcat1 stacks Dense_0's kernel rows as
+    [bottleneck rows (padded to out_pad); view-enc rows (padded to
+    venc_pad)] so the kernel computes the concat layer as ONE
+    [tile, out_pad+venc_pad]-deep contraction."""
+    out = params_to_list(spec, flax_params["spatial_mlp"])
+    k1 = jnp.asarray(flax_params["Dense_0"]["kernel"], jnp.float32)
+    b1 = jnp.asarray(flax_params["Dense_0"]["bias"], jnp.float32)
+    k2 = jnp.asarray(flax_params["Dense_1"]["kernel"], jnp.float32)
+    b2 = jnp.asarray(flax_params["Dense_1"]["bias"], jnp.float32)
+    bneck = spec.out_dim
+    assert k1.shape[0] == bneck + tail.venc_in, (k1.shape, bneck, tail.venc_in)
+    W1b = jnp.pad(k1[:bneck], ((0, spec.out_pad - bneck), (0, 0)))
+    W1v = jnp.pad(k1[bneck:], ((0, tail.venc_pad - tail.venc_in), (0, 0)))
+    out.append(jnp.concatenate([W1b, W1v], axis=0))
+    out.append(b1.reshape(1, -1))
+    out.append(jnp.pad(k2, ((0, 0), (0, tail.rgb_pad - tail.rgb_dim))))
+    out.append(jnp.pad(b2, (0, tail.rgb_pad - tail.rgb_dim)).reshape(1, -1))
+    return out
+
+
+def viewdep_pad_flax_params(spec: FusedMLPSpec, tail: ViewDepTailSpec,
+                            flax_params):
+    """Viewdep params -> same dict structure with lane-padded leaves (the
+    whole-epoch in-kernel-Adam carry space; see pad_flax_params). Dense_0's
+    kernel rows are re-laid out as [bottleneck rows padded to out_pad;
+    view-enc rows padded to venc_pad] to match the kernel's Wcat1 operand —
+    pads are zero, receive zero gradients (bottleneck pad cols are
+    relu(0)=0; venc pad lanes are zeroed in-kernel), and stay zero under
+    Adam."""
+    out = {"spatial_mlp": pad_flax_params(spec, flax_params["spatial_mlp"])}
+    k1 = jnp.asarray(flax_params["Dense_0"]["kernel"], jnp.float32)
+    b1 = jnp.asarray(flax_params["Dense_0"]["bias"], jnp.float32)
+    k2 = jnp.asarray(flax_params["Dense_1"]["kernel"], jnp.float32)
+    b2 = jnp.asarray(flax_params["Dense_1"]["bias"], jnp.float32)
+    bneck = spec.out_dim
+    W1b = jnp.pad(k1[:bneck], ((0, spec.out_pad - bneck), (0, 0)))
+    W1v = jnp.pad(k1[bneck:], ((0, tail.venc_pad - tail.venc_in), (0, 0)))
+    out["Dense_0"] = {
+        "kernel": jnp.concatenate([W1b, W1v], axis=0), "bias": b1,
+    }
+    out["Dense_1"] = {
+        "kernel": jnp.pad(k2, ((0, 0), (0, tail.rgb_pad - tail.rgb_dim))),
+        "bias": jnp.pad(b2, (0, tail.rgb_pad - tail.rgb_dim)),
+    }
+    return out
+
+
+def viewdep_unpad_flax_params(spec: FusedMLPSpec, tail: ViewDepTailSpec,
+                              padded):
+    """Inverse of viewdep_pad_flax_params."""
+    out = {"spatial_mlp": unpad_flax_params(spec, padded["spatial_mlp"])}
+    Wc1 = padded["Dense_0"]["kernel"]
+    bneck = spec.out_dim
+    out["Dense_0"] = {
+        "kernel": jnp.concatenate(
+            [Wc1[:bneck], Wc1[spec.out_pad : spec.out_pad + tail.venc_in]],
+            axis=0,
+        ),
+        "bias": padded["Dense_0"]["bias"],
+    }
+    out["Dense_1"] = {
+        "kernel": padded["Dense_1"]["kernel"][:, : tail.rgb_dim],
+        "bias": padded["Dense_1"]["bias"][: tail.rgb_dim],
+    }
+    return out
+
+
+def viewdep_wb_from_padded(spec: FusedMLPSpec, padded):
+    """Padded viewdep dict -> kernel operand list (pure restructuring)."""
+    out = wb_from_padded(spec, padded["spatial_mlp"])
+    out.append(padded["Dense_0"]["kernel"])
+    out.append(padded["Dense_0"]["bias"].reshape(1, -1))
+    out.append(padded["Dense_1"]["kernel"])
+    out.append(padded["Dense_1"]["bias"].reshape(1, -1))
+    return out
+
+
+def viewdep_grads_to_padded(spec: FusedMLPSpec, grad_list):
+    """Kernel grad/param list -> padded viewdep dict (no slicing)."""
+    n_sp = 2 * len(spec.weight_names())
+    out = {"spatial_mlp": grads_to_padded(spec, grad_list[:n_sp])}
+    out["Dense_0"] = {
+        "kernel": grad_list[n_sp], "bias": grad_list[n_sp + 1].reshape(-1)
+    }
+    out["Dense_1"] = {
+        "kernel": grad_list[n_sp + 2], "bias": grad_list[n_sp + 3].reshape(-1)
+    }
+    return out
+
+
+def make_fused_apply_viewdep(spec: FusedMLPSpec, tail: ViewDepTailSpec,
+                             batch_tile=512, interpret=None):
+    """Fused forward for the view-dependent family (reference
+    model.py:123-191): spatial skip-MLP -> relu bottleneck -> concat with the
+    (externally encoded) view direction -> 2-layer directional head, all in
+    ONE pallas call per batch tile.
+
+    Returns apply(wb_list, x_padded [B,k_pad], venc_padded [B,venc_pad]) ->
+    rgb [B, rgb_dim]. wb_list: viewdep_params_to_list layout. The view-dir
+    ENCODING (angle/extrinsic FourierFeatEnc) stays outside the kernel — it
+    is a cheap fixed VPU function of the hit data and XLA fuses it into the
+    surrounding graph; the kernel ingests the encoded rows. Inference only
+    (no VJP): training for this family runs the XLA path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_sp = 2 * len(spec.weight_names())
+    n_wb = n_sp + 4
+    const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, v_ref, *refs):
+        out_ref = refs[-1]
+        wb = [r[:] for r in refs[:-1]]
+        z, _ = _forward_layers(spec, x_ref[:], wb[:n_sp])
+        bneck = jnp.maximum(z, 0.0)  # relu feature head (return_rgb=False)
+        Wc1, b1, W2, b2 = wb[n_sp:]
+        bv = jnp.concatenate(
+            [bneck.astype(_MM_IN), v_ref[:].astype(_MM_IN)], axis=1
+        )
+        h = jnp.maximum(_mm(bv, Wc1) + b1, 0.0)
+        out_ref[:] = jax.nn.sigmoid(_mm(h, W2) + b2)
+
+    def apply(wb, x, venc):
+        B = x.shape[0]
+        assert B % batch_tile == 0 and B > 0, (B, batch_tile)
+        assert venc.shape == (B, tail.venc_pad), (venc.shape, tail.venc_pad)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, tail.rgb_pad), jnp.float32),
+            grid=(B // batch_tile,),
+            in_specs=[
+                pl.BlockSpec((batch_tile, spec.k_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((batch_tile, tail.venc_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [const_spec() for _ in range(n_wb)],
+            out_specs=pl.BlockSpec((batch_tile, tail.rgb_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, venc, *wb)
+        return out[:, : tail.rgb_dim]
+
+    return apply
 
 
 def make_fused_apply(spec: FusedMLPSpec, batch_tile=512, interpret=None):

@@ -92,7 +92,32 @@ def fused_pre_embed_eligible(model):
     )
 
 
-def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
+def fused_viewdep_eligible(model):
+    """TextureFieldWithViewDependency configurations coverable by the fused
+    INFERENCE kernel (ops/fused_mlp.make_fused_apply_viewdep): relu spatial
+    core + relu bottleneck head, lane-aligned hidden/bottleneck/directional
+    widths, no BatchNorm. The view-dir encoding (intrinsic angle or extrinsic
+    dirs, reference model.py:175-184) is a fixed function evaluated outside
+    the kernel (models/texture_field.view_encoder_apply). TRAINING is
+    covered too on the streaming blocks path: the encoding is fixed per
+    cached hit, so data.sampler.precompute_hit_vencs streams pre-encoded
+    rows next to the hit features and the train kernels run in tail mode
+    (ops/fused_mlp._train_grads_body)."""
+    from ..models.texture_field import TextureFieldWithViewDependency
+
+    return (
+        type(model) is TextureFieldWithViewDependency
+        and not model.batchnorm
+        and model.activation == "relu"
+        and model.hidden_dim % 128 == 0
+        and model.bottleneck_vec_dim % 128 == 0
+        and model.directional_hidden_dim % 128 == 0
+        and model.view_dir_strategy in ("intrinsic", "extrinsic")
+    )
+
+
+def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False,
+                     tail=None):
     """Largest batch tile whose working set fits the ~16MB VMEM scope.
 
     Bigger tiles amortize the kernel's per-program overheads (weight DMA,
@@ -121,15 +146,30 @@ def _pick_fused_tile(spec, batch_size, stream=False, x_bytes=2, adam=False):
     adam_bytes = (
         2 * 4 * spec.k_pad * max(spec.hidden, spec.out_pad) if adam else 0
     )
+    # view-dependent tail: venc tiles + bottleneck/h1 saved acts + the four
+    # tail weight/grad operands
+    tail_bytes = 0
+    if tail is not None:
+        tail_w = 4 * (
+            (spec.out_pad + tail.venc_pad) * tail.d_hidden
+            + tail.d_hidden * tail.rgb_pad
+        )
+        w_bytes += tail_w
     for tile in (2048, 1024, 512, 256):
         if batch_size % tile:
             continue
+        if tail is not None:
+            tail_bytes = (
+                dbuf * tile * tail.venc_pad * x_bytes      # venc tile(s)
+                + 2 * tile * spec.hidden * 2               # bneck + h1 bf16
+            )
         est = (
             dbuf * tile * spec.k_pad * x_bytes         # x tile(s)
             + dbuf * tile * spec.out_pad * 4           # gt tile(s)
             + tile * spec.hidden * (spec.num_layers - 1) * 2  # bf16 saved acts
             + 2 * w_bytes                              # weights + grad accums
             + adam_bytes
+            + tail_bytes
         )
         if est <= 10 * 2**20:
             return tile
@@ -209,9 +249,13 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       replace the per-step forward/backward/loss with ONE Pallas kernel
       (ops/fused_mlp.make_fused_train_grads): the whole network runs inside
       VMEM per batch tile — one HBM read of the batch, one kernel launch.
-      Requires fused_mlp_eligible(model) and full batches (a ragged tail
-      epoch silently uses the XLA path). Gradient numerics match the XLA
-      path's default TPU matmul precision (bf16 inputs, f32 accumulation).
+      Requires fused_mlp_eligible(model) — or fused_viewdep_eligible(model)
+      plus pre-encoded view directions (data.hit_vencs, see
+      data.sampler.precompute_hit_vencs) on the streaming blocks path, in
+      which case the kernels run in tail mode with the directional head
+      inside — and full batches (a ragged tail epoch silently uses the XLA
+      path). Gradient numerics match the XLA path's default TPU matmul
+      precision (bf16 inputs, f32 accumulation).
     fused_adam:
       additionally fold the Adam update into the kernel's final grid program
       (ops/fused_mlp.make_fused_train_adam): gradients stay in VMEM scratch,
@@ -244,11 +288,29 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
       table) — kept available for much wider feature tables, default off.
     """
     assert shuffle in ("full", "blocks")
+    viewdep_fused = fused and fused_viewdep_eligible(model)
     if fused:
-        assert fused_mlp_eligible(model), (
-            "training.fused_mlp requires the plain TextureField config: "
-            "efuncs input, relu, sigmoid RGB head, no batchnorm, hidden "
-            "width a multiple of 128"
+        assert fused_mlp_eligible(model) or viewdep_fused, (
+            "training.fused_mlp requires the plain TextureField config "
+            "(efuncs input, relu, sigmoid RGB head, no batchnorm, hidden "
+            "width a multiple of 128) or a fused-eligible view-dependent "
+            "field (fused_viewdep_eligible)"
+        )
+    vd_tail = None
+    if viewdep_fused:
+        import jax as _jax
+
+        from ..models.texture_field import view_encoder_apply
+        from ..ops.fused_mlp import ViewDepTailSpec
+
+        _venc_fn = view_encoder_apply(model)
+        _venc_in = int(_jax.eval_shape(
+            _venc_fn,
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ).shape[1])
+        vd_tail = ViewDepTailSpec(
+            venc_in=_venc_in, d_hidden=model.directional_hidden_dim
         )
     loss_elem = elementwise_loss(loss_type)
 
@@ -281,8 +343,15 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
             perm = jax.random.permutation(key, n)
 
         # Fused Pallas step: needs full batches (the weighted-tail accounting
-        # lives in the XLA path); k_in is static at trace time.
+        # lives in the XLA path); k_in is static at trace time. The
+        # view-dependent family additionally needs the streaming blocks
+        # layout with pre-encoded view directions (hit_vencs).
         use_fused = fused and not has_tail
+        if viewdep_fused:
+            use_fused = (
+                use_fused and use_blocks and data.hit_features is not None
+                and data.hit_vencs is not None
+            )
         use_kernel_adam = False
         if use_fused:
             import optax as _optax
@@ -295,6 +364,10 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                 make_fused_train_grads,
                 pad_flax_params,
                 unpad_flax_params,
+                viewdep_grads_to_padded,
+                viewdep_pad_flax_params,
+                viewdep_unpad_flax_params,
+                viewdep_wb_from_padded,
                 wb_from_padded,
             )
 
@@ -304,7 +377,18 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                 k_in=k_in,
                 hidden=model.hidden_dim,
                 skip_idx=model.skip_layer_idx,
+                out_dim=(model.bottleneck_vec_dim if viewdep_fused else 3),
             )
+            if viewdep_fused:
+                # viewdep layout variants of the padded-space plumbing
+                pad_flax_params = (
+                    lambda sp, par: viewdep_pad_flax_params(sp, vd_tail, par)
+                )
+                unpad_flax_params = (
+                    lambda sp, par: viewdep_unpad_flax_params(sp, vd_tail, par)
+                )
+                wb_from_padded = viewdep_wb_from_padded
+                grads_to_padded = viewdep_grads_to_padded
             # Blocks mode streams each batch tile straight from the HBM
             # feature table at the shuffled block offset (scalar-prefetched
             # DMA) — no dynamic_slice copy, no pad copy per step.
@@ -323,18 +407,20 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
             if use_kernel_adam:
                 tile = _pick_fused_tile(
                     spec, batch_size, stream=True, x_bytes=x_bytes, adam=True,
+                    tail=vd_tail,
                 )
                 adam_run = make_fused_train_adam(
-                    spec, loss_type, batch_tile=tile,
+                    spec, loss_type, batch_tile=tile, tail=vd_tail,
                     interleave=_effective_interleave(fused_interleave, tile),
                 )
             else:
                 tile = _pick_fused_tile(
-                    spec, batch_size, stream=fused_stream, x_bytes=x_bytes
+                    spec, batch_size, stream=fused_stream, x_bytes=x_bytes,
+                    tail=vd_tail,
                 )
                 fused_run = make_fused_train_grads(
                     spec, loss_type, batch_tile=tile,
-                    stream=fused_stream,
+                    stream=fused_stream, tail=vd_tail,
                     interleave=_effective_interleave(fused_interleave, tile),
                 )
 
@@ -361,9 +447,19 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
                     data.expected_rgbs, (start, 0), (batch_size, 3)
                 )
                 hyper = lax.dynamic_slice(hyper_all, (i, 0), (1, 128))
-                wb, m, v, loss_sum, sq_sum = adam_run(
-                    wb, m, v, hyper, data.hit_features, gt, start, batch_size
-                )
+                # kernel offset in batch_tile units — exact by construction
+                # (batch_size % tile == 0 is asserted in the kernel factory)
+                blk = block_order[i] * (batch_size // tile)
+                if viewdep_fused:
+                    wb, m, v, loss_sum, sq_sum = adam_run(
+                        wb, m, v, hyper, data.hit_features, data.hit_vencs,
+                        gt, blk, batch_size
+                    )
+                else:
+                    wb, m, v, loss_sum, sq_sum = adam_run(
+                        wb, m, v, hyper, data.hit_features, gt, blk,
+                        batch_size
+                    )
                 return (
                     wb, m, v,
                     acc_loss + loss_sum / 3.0,   # loss_sum/(B*3) * B
@@ -426,14 +522,24 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
             grad_list, loss_sum, sq_sum = fused_run(wb, x, batch["expected_rgbs"])
             return _fused_tail(carry, grad_list, loss_sum, sq_sum, opt_state)
 
-        def fused_stream_step(carry, start):
-            """Kernel DMAs the feature tiles straight from HBM at `start`."""
+        def fused_stream_step(carry, blk):
+            """Kernel DMAs the feature tiles straight from HBM at shuffled
+            batch index `blk`; the tile offset is passed in batch_tile units
+            (exact — batch_size % tile == 0 is asserted in the factory)."""
             params_p, opt_state = carry[0], carry[1]
+            start = blk * batch_size
             gt = lax.dynamic_slice(data.expected_rgbs, (start, 0), (batch_size, 3))
             wb = wb_from_padded(spec, params_p)
-            grad_list, loss_sum, sq_sum = fused_run(
-                wb, data.hit_features, gt, start, batch_size
-            )
+            if viewdep_fused:
+                grad_list, loss_sum, sq_sum = fused_run(
+                    wb, data.hit_features, data.hit_vencs, gt,
+                    blk * (batch_size // tile), batch_size
+                )
+            else:
+                grad_list, loss_sum, sq_sum = fused_run(
+                    wb, data.hit_features, gt, blk * (batch_size // tile),
+                    batch_size
+                )
             return _fused_tail(carry, grad_list, loss_sum, sq_sum, opt_state)
 
         def _pad_opt_state(opt_state):
@@ -456,7 +562,7 @@ def make_epoch_fns(model, optimizer, loss_type, shuffle="full", fused=False,
         def step(carry, i):
             params, opt_state, batch_stats, acc_loss, acc_sq, acc_n = carry
             if use_fused and use_blocks and fused_stream:
-                return fused_stream_step(carry, block_order[i] * batch_size), None
+                return fused_stream_step(carry, block_order[i]), None
             if use_blocks:
                 batch = slice_batch(data, block_order[i] * batch_size, batch_size)
                 w = jnp.ones((batch_size,), jnp.float32)

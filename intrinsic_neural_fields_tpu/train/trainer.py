@@ -29,6 +29,7 @@ from .steps import (
     TrainState,
     create_train_state,
     fused_pre_embed_eligible,
+    fused_viewdep_eligible,
     make_epoch_fns,
     make_variables,
 )
@@ -117,6 +118,36 @@ class Trainer:
             )
             if self._apply_pre_embedding(variables.get("buffers", {})):
                 self.epoch_model = mlp_core_view(model)
+
+        if self.fused_mlp and fused_viewdep_eligible(model) and (
+            self.train_data.feature_strategy == "efuncs"
+        ):
+            # View-dependent fused training: pre-encode the directional
+            # encoding per cached hit (a fixed function of the cached ray
+            # dir + hit face) so the train kernels stream it in tail mode.
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from ..data.sampler import (
+                parse_precompute_dtype,
+                precompute_hit_vencs,
+            )
+            from ..models.texture_field import view_encoder_apply
+            from ..ops.fused_mlp import _round_up
+
+            venc_fn = view_encoder_apply(model)
+            venc_in = int(_jax.eval_shape(
+                venc_fn,
+                _jax.ShapeDtypeStruct((1, 3), _jnp.float32),
+                _jax.ShapeDtypeStruct((1,), _jnp.int32),
+            ).shape[1])
+            venc_pad = _round_up(venc_in, 128)
+            vdtype = parse_precompute_dtype(
+                config["data"].get("precompute_dtype")
+            )
+            self.train_data = precompute_hit_vencs(
+                venc_fn, self.train_data, venc_pad, dtype=vdtype
+            )
 
         self.train_epoch_fn, self.val_epoch_fn = make_epoch_fns(
             self.epoch_model, optimizer, loss_type, shuffle=self.shuffle,

@@ -56,8 +56,11 @@ def test_single_step_matches_grads_plus_optax(setup):
         wb, m, v, hyper, feats, gt, 0, B
     )
 
-    # reference: same kernel grads + optax adam on the flat list
-    run_grads = make_fused_train_grads(spec, "L1", batch_tile=tile, stream=True)
+    # reference: same kernel grads + optax adam on the flat list (same
+    # skip_concat as the adam kernel — the comparison is about the ADAM
+    # update numerics, so both must produce identical f32 gradients)
+    run_grads = make_fused_train_grads(spec, "L1", batch_tile=tile,
+                                       stream=True, skip_concat=False)
     grads, loss_g, sq_g = run_grads(wb, feats, gt, 0, B)
     opt = optax.adam(lr)
     opt_state = opt.init(wb)
@@ -80,6 +83,7 @@ def test_single_step_matches_grads_plus_optax(setup):
         )
 
 
+@pytest.mark.slow
 def test_multi_step_state_chained(setup):
     """Three chained in-kernel steps == three grads+optax steps (state carried
     through the aliased buffers)."""
@@ -88,7 +92,10 @@ def test_multi_step_state_chained(setup):
     lr = 5e-3
 
     run_adam = make_fused_train_adam(spec, "L1", batch_tile=tile)
-    run_grads = make_fused_train_grads(spec, "L1", batch_tile=tile, stream=True)
+    # same skip_concat as the adam kernel: the comparison is about the ADAM
+    # update numerics, so both kernels must produce identical f32 gradients
+    run_grads = make_fused_train_grads(spec, "L1", batch_tile=tile,
+                                       stream=True, skip_concat=False)
     # inject_hyperparams is the factory's optimizer and the kernel's exact
     # numerics contract: betas are injected as f32, so optax's (1-b2) is the
     # f32 difference — plain optax.adam with Python-float betas rounds
@@ -103,10 +110,10 @@ def test_multi_step_state_chained(setup):
 
     losses_a, losses_r = [], []
     for t in (1, 2, 3):
-        start = (t - 1) * B % feats.shape[0]
+        start_block = ((t - 1) * B % feats.shape[0]) // tile
         hyper = adam_hyper_rows(jnp.array([t]), lr)[0:1]
-        wb_a, m, v, la, _ = run_adam(wb_a, m, v, hyper, feats, gt, start, B)
-        grads, lr_loss, _ = run_grads(wb_r, feats, gt, start, B)
+        wb_a, m, v, la, _ = run_adam(wb_a, m, v, hyper, feats, gt, start_block, B)
+        grads, lr_loss, _ = run_grads(wb_r, feats, gt, start_block, B)
         updates, opt_state = opt.update(grads, opt_state, wb_r)
         wb_r = optax.apply_updates(wb_r, updates)
         losses_a.append(float(la))
@@ -324,6 +331,7 @@ def test_opt_view_rejects_lookalikes():
         assert _adam_opt_view(opt.init(p)) is None
 
 
+@pytest.mark.slow
 def test_custom_betas_ride_the_hyper_row(setup, rng):
     """Non-default b1/b2/eps must flow from inject_hyperparams into the
     kernel (they ride the hyper row as traced values) — one-batch epoch

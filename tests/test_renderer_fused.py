@@ -24,8 +24,8 @@ def _render_pair(cfg, feature_strategy="efuncs", k_feats=None, H=40, W=40,
     efuncs = None
     if feature_strategy == "efuncs":
         efuncs = rng.normal(size=(m.num_vertices, k_feats)).astype(np.float32)
-    model = make_model(cfg)
-    variables = init_model(model, cfg)
+    model = make_model(cfg, mesh=m)
+    variables = init_model(model, cfg, mesh=m)
     kw = dict(
         eigenfunctions=efuncs, feature_strategy=feature_strategy, H=H, W=W
     )
@@ -48,6 +48,7 @@ def test_fused_infer_matches_xla_efuncs():
     assert np.abs(img_xla - img_fused).max() < 2e-2
 
 
+@pytest.mark.slow
 def test_fused_infer_matches_xla_rff_pre_embed():
     cfg = {"k": 24, "num_layers": 4, "mlp_hidden_dim": 128,
            "skip_layer_idx": 2, "feature_strategy": "rff"}
@@ -86,3 +87,28 @@ def test_fused_requires_eligible_model():
     with pytest.raises(AssertionError):
         Renderer(model, variables, m, eigenfunctions=efuncs, H=16, W=16,
                  infer="fused")
+
+
+VIEWDEP_COMMON = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 128,
+                  "skip_layer_idx": 2}
+
+
+@pytest.mark.parametrize("strategy,in_dim", [("intrinsic", 1), ("extrinsic", 3)])
+def test_fused_infer_matches_xla_viewdep(strategy, in_dim):
+    """View-dependent family through the fused kernel (VERDICT r4 next #3):
+    spatial core + bottleneck/view-dir concat + directional tail, parity vs
+    the flax apply for both view-dir strategies."""
+    cfg = dict(VIEWDEP_COMMON)
+    cfg["view_dependence"] = {
+        "bottleneck_vec_dim": 128,
+        "include_view_dir": True,
+        "embed_size": 4,
+        "directional_hidden_dim": 128,
+        "in_dim_view_dir": in_dim,
+        "strategy": strategy,
+    }
+    img_xla, img_fused = _render_pair(cfg, k_feats=16)
+    hit = np.any(img_xla != 1.0, axis=-1)
+    assert hit.any()
+    np.testing.assert_array_equal(img_xla[~hit], img_fused[~hit])
+    assert np.abs(img_xla - img_fused).max() < 2e-2

@@ -194,9 +194,9 @@ def main():
 
                 def step(carry, i):
                     wb = carry
-                    s = order[i] * B
-                    gt = lax.dynamic_slice(rgbs, (s, 0), (B, 3))
-                    grads, loss, sq = frs(wb, feats, gt, s, B)
+                    gt = lax.dynamic_slice(rgbs, (order[i] * B, 0), (B, 3))
+                    grads, loss, sq = frs(wb, feats, gt,
+                                          order[i] * (B // tile), B)
                     wb = [w - 1e-4 * g for w, g in zip(wb, grads)]
                     return wb, loss
 
