@@ -87,20 +87,31 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
     if fused:
         from ..train.steps import fused_mlp_eligible
 
-        assert fused_mlp_eligible(model), (
-            "training.fused_mlp requires the plain TextureField config"
-        )
-    assert not getattr(model, "batchnorm", False), (
-        "BatchNorm is not supported in the data-parallel path (per-shard "
-        "statistics would need a psum sync); train single-device instead"
-    )
+        if not fused_mlp_eligible(model):
+            # e.g. a view-dependent config with training.fused_mlp: its
+            # single-device epochs run the tail-mode kernel, but the DP
+            # split (grads -> pmean -> apply) doesn't cover it yet — fall
+            # back to the XLA step rather than refusing the run.
+            print("fused_mlp: model not DP-fused-eligible; using the XLA "
+                  "data-parallel step")
+            fused = False
+    uses_bn = bool(getattr(model, "batchnorm", False))
+    if uses_bn:
+        # Sync-BN: clone the model so its BatchNorm pmean's batch statistics
+        # over the mesh axis — every device normalizes with the GLOBAL batch
+        # stats and the running stats stay replicated (the DP equivalent of
+        # the reference's DataParallel BN training, train.py:46-48 +
+        # model.py:44-51).
+        model = model.clone(bn_axis_name=axis_name)
     D = int(np.prod(mesh.devices.shape))
     loss_elem = elementwise_loss(loss_type)
 
-    def _forward(params, buffers, batch):
+    def _forward(params, buffers, batch, batch_stats=None):
         variables = {"params": params}
         if buffers:
-            variables = {"params": params, "buffers": buffers}
+            variables["buffers"] = buffers
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         return model.apply(variables, batch)
 
     def _replace_hits(data: RayData, fn):
@@ -135,8 +146,15 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
 
         def step_body(carry, batch, w, state):
             """One optimizer step on a per-device batch with row weights w.
-            Global-batch gradient = psum(weighted shard sums) / psum(weights)."""
-            params, opt_state, acc_loss, acc_sq, acc_n = carry
+            Global-batch gradient = psum(weighted shard sums) / psum(weights).
+            With BatchNorm the running stats ride the carry (last slot); the
+            in-module pmean makes every device's stats identical, so they
+            stay replicated without an explicit broadcast."""
+            if uses_bn:
+                params, opt_state, acc_loss, acc_sq, acc_n, batch_stats = carry
+            else:
+                params, opt_state, acc_loss, acc_sq, acc_n = carry
+                batch_stats = state.batch_stats
             gt = batch["expected_rgbs"]
             n_b = lax.psum(jnp.sum(w), axis_name)
 
@@ -150,12 +168,27 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                     if state.buffers:
                         variables["buffers"] = state.buffers
                     loss, pred = model.apply(variables, batch, method=model.loss_and_rgbs)
-                    return loss * (jnp.sum(w) / n_b) * D, pred
-                pred = _forward(p, state.buffers, batch)
+                    return loss * (jnp.sum(w) / n_b) * D, (pred, batch_stats)
+                if uses_bn:
+                    # Sync-BN stats are computed over ALL shard rows incl.
+                    # clamped tail duplicates (rare ragged-tail caveat, same
+                    # as the reference's smaller final DataParallel batch).
+                    variables = {"params": p, "batch_stats": batch_stats}
+                    if state.buffers:
+                        variables["buffers"] = state.buffers
+                    pred, mutated = model.apply(
+                        variables, batch, train=True, mutable=["batch_stats"]
+                    )
+                    new_stats = mutated["batch_stats"]
+                else:
+                    pred = _forward(p, state.buffers, batch)
+                    new_stats = batch_stats
                 per_sample = jnp.mean(loss_elem(pred, gt), axis=-1)
-                return jnp.sum(per_sample * w) * (D / n_b), pred
+                return jnp.sum(per_sample * w) * (D / n_b), (pred, new_stats)
 
-            (loss_term, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            (loss_term, (pred, batch_stats)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(params)
             # loss_of returns D * (local weighted sum / global count), so the
             # pmean (= psum / D) of values and grads is the global batch mean.
             grads = lax.pmean(grads, axis_name)
@@ -165,17 +198,19 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
 
             acc_loss = acc_loss + loss * n_b
             acc_sq = acc_sq + lax.psum(jnp.sum(jnp.sum((pred - gt) ** 2, axis=-1) * w), axis_name)
-            return (params, opt_state, acc_loss, acc_sq, acc_n + n_b)
+            out = (params, opt_state, acc_loss, acc_sq, acc_n + n_b)
+            return out + ((batch_stats,) if uses_bn else ())
 
         def finish(carry, state):
-            params, opt_state, acc_loss, acc_sq, acc_n = carry
+            params, opt_state, acc_loss, acc_sq, acc_n = carry[:5]
+            batch_stats = carry[5] if uses_bn else state.batch_stats
             metrics = {"loss": acc_loss / acc_n, "sq_err_per_sample": acc_sq / acc_n}
-            return TrainState(params, state.buffers, opt_state, state.batch_stats), metrics
+            return TrainState(params, state.buffers, opt_state, batch_stats), metrics
 
         init_carry = lambda state: (
             state.params, state.opt_state,
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-        )
+        ) + ((state.batch_stats,) if uses_bn else ())
         dev_ids = jnp.arange(D, dtype=jnp.int32)
 
         if use_blocks:
@@ -261,16 +296,21 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                         params,
                     )
 
-            def fused_shard_step(carry, data, start, state):
-                """params/opt ride the scan in padded space (see steps.py)."""
+            def fused_shard_step(carry, data, blk, state):
+                """params/opt ride the scan in padded space (see steps.py).
+                blk: shuffled local-batch index; the streaming kernel takes
+                its offset in batch_tile units (exact — local_b % tile == 0
+                is asserted in the kernel factory)."""
                 params_p, opt_state, acc_loss, acc_sq, acc_n = carry
+                start = blk * local_b
                 wb = wb_from_padded(spec, params_p)
                 if fused_stream:
                     gt = lax.dynamic_slice(
                         data.expected_rgbs, (start, 0), (local_b, 3)
                     )
                     grad_list, loss_sum, sq_sum = fused_run(
-                        wb, data.hit_features, gt, start, local_b
+                        wb, data.hit_features, gt, blk * (local_b // tile),
+                        local_b
                     )
                 else:
                     batch = slice_batch(data, start, local_b)
@@ -288,16 +328,17 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 acc_n = acc_n + jnp.float32(batch_size)
                 return (params_p, opt_state, acc_loss, acc_sq, acc_n)
 
-            def kernel_adam_shard_step(carry, data, start, hyper):
+            def kernel_adam_shard_step(carry, data, blk, hyper):
                 """grads kernel -> pmean over the mesh axis -> in-kernel
                 apply. Identical grads on every device after the pmean, so
-                the aliased wb/m/v stay replicated without a broadcast."""
+                the aliased wb/m/v stay replicated without a broadcast.
+                blk: shuffled local-batch index (see fused_shard_step)."""
                 wb, m, v, acc_loss, acc_sq, acc_n = carry
                 gt = lax.dynamic_slice(
-                    data.expected_rgbs, (start, 0), (local_b, 3)
+                    data.expected_rgbs, (blk * local_b, 0), (local_b, 3)
                 )
                 grad_list, loss_sum, sq_sum = fused_run(
-                    wb, data.hit_features, gt, start, local_b
+                    wb, data.hit_features, gt, blk * (local_b // tile), local_b
                 )
                 grad_list = lax.pmean(grad_list, axis_name)
                 wb, m, v = apply_run(wb, m, v, hyper, grad_list)
@@ -330,7 +371,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                     def kstep(carry, i):
                         hyper = lax.dynamic_slice(hyper_all, (i, 0), (1, 128))
                         return kernel_adam_shard_step(
-                            carry, data, block_order[i] * local_b, hyper
+                            carry, data, block_order[i], hyper
                         ), None
 
                     init = (
@@ -364,7 +405,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 def step(carry, i):
                     if fused:
                         return fused_shard_step(
-                            carry, data, block_order[i] * local_b, state
+                            carry, data, block_order[i], state
                         ), None
                     batch = slice_batch(data, block_order[i] * local_b, local_b)
                     w = jnp.ones((local_b,), jnp.float32)
@@ -450,7 +491,8 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 idx = jnp.minimum(idx, n - 1)
                 batch = gather_batch(data, idx)
                 gt = batch["expected_rgbs"]
-                pred = _forward(state.params, state.buffers, batch)
+                pred = _forward(state.params, state.buffers, batch,
+                                state.batch_stats)
                 per_sample = jnp.mean(loss_elem(pred, gt), axis=-1)
                 acc_loss = acc_loss + jnp.sum(per_sample * w)
                 acc_sq = acc_sq + jnp.sum(jnp.sum((pred - gt) ** 2, axis=-1) * w)

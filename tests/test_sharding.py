@@ -177,6 +177,7 @@ def test_dp_blocks_sharded_hit_features_exact_mean():
     np.testing.assert_allclose(float(m["loss"]), v, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_fused_kernel_adam_matches_optax_update():
     """fused_adam=True splits the DP step into grads-kernel -> pmean ->
     in-kernel Adam apply. With identical keys the block orders match the
@@ -244,6 +245,7 @@ def test_dp_fused_kernel_adam_lr0_identity():
     np.testing.assert_allclose(float(m["loss"]), v, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_fused_blocks_matches_xla_dp():
     """fused=True in the DP blocks path: per-device Pallas steps with pmean'd
     local-mean grads must track the XLA DP path's loss curve."""
@@ -269,3 +271,53 @@ def test_dp_fused_blocks_matches_xla_dp():
         curves[fused] = losses
     assert curves[True][-1] < 0.7 * curves[True][0], curves[True]
     np.testing.assert_allclose(curves[True], curves[False], rtol=0.02)
+
+
+def test_dp_batchnorm_sync_matches_single_device():
+    """Sync-BN under DP (VERDICT r4 #7): with one global batch per epoch the
+    pmean'd per-shard statistics ARE the full-batch statistics, so DP must
+    track the single-device BN run step for step (f32 reduction order only)
+    and the running stats must stay replicated."""
+    data = _synthetic_raydata(n=512)
+    cfg = {"k": 16, "num_layers": 4, "mlp_hidden_dim": 32, "skip_layer_idx": 2,
+           "batchnorm": True}
+    model = make_model(cfg)
+    variables = init_model(model, cfg)
+    assert "batch_stats" in variables, "BN model must carry batch_stats"
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+    mesh = make_device_mesh(8)
+    dp_train, dp_val = make_dp_epoch_fns(model, optimizer, "L1", mesh)
+    sd_train, sd_val = make_epoch_fns(model, optimizer, "L1")
+
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    state_dp = create_train_state(copy(variables), optimizer)
+    state_sd = create_train_state(copy(variables), optimizer)
+    key = jax.random.PRNGKey(3)
+    for epoch in range(4):
+        k = jax.random.fold_in(key, epoch)
+        # one batch == the whole dataset: identical global batch both paths
+        state_dp, m_dp = dp_train(state_dp, k, data, 1, 512)
+        state_sd, m_sd = sd_train(state_sd, k, data, 1, 512)
+        np.testing.assert_allclose(
+            float(m_dp["loss"]), float(m_sd["loss"]), rtol=1e-4
+        )
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    # running stats updated away from init and equal to the single-device run
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.batch_stats),
+                    jax.tree_util.tree_leaves(state_sd.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    assert any(
+        float(jnp.abs(x).max()) > 0
+        for x in jax.tree_util.tree_leaves(state_dp.batch_stats)
+    )
+
+    # val epoch uses the running averages (use_running_average=True)
+    v_dp = float(jax.device_get(dp_val(state_dp, data, 512))["loss"])
+    v_sd = float(jax.device_get(sd_val(state_sd, data, 512))["loss"])
+    np.testing.assert_allclose(v_dp, v_sd, rtol=1e-4)
