@@ -86,7 +86,20 @@ def find_containing_triangles(p, a, b, c, num_neigh=10, min_area=1e-4):
 
 def barycentric_2d_matched(p, a, b, c):
     """Barycentric coordinates of p [N,2] in matched triangles (a,b,c) [N,2],
-    with an exact reconstruction check (reference bary_matched :196-228)."""
+    with an exact reconstruction check (reference bary_matched :196-228).
+
+    The solve runs in np.longdouble (x86 80-bit, the same extended precision
+    the reference's np.float128 alias gives it at bake_texture_field.py:358):
+    near-degenerate UV triangles on seam-heavy atlases make the 2x2 Cramer
+    denominator catastrophically small, eroding f64's reconstruction margin
+    against the allclose gate (measured on 200k synthetic slivers down to
+    1e-4 px height in a 1024px atlas: worst f64 texel error 8.3e-5 px vs
+    2.9e-8 px in longdouble — ~2900x more headroom; RESULTS.md bake
+    precision note). Outputs are cast back to f64 for interpolation."""
+    p = np.asarray(p, np.longdouble)
+    a = np.asarray(a, np.longdouble)
+    b = np.asarray(b, np.longdouble)
+    c = np.asarray(c, np.longdouble)
     v0, v1, v2 = b - a, c - a, p - a
     d00 = np.sum(v0 * v0, -1)
     d01 = np.sum(v0 * v1, -1)
@@ -98,8 +111,10 @@ def barycentric_2d_matched(p, a, b, c):
     w = (d00 * d21 - d01 * d20) / denom
     u = 1.0 - v - w
     rec = u[:, None] * a + v[:, None] * b + w[:, None] * c
-    assert np.allclose(rec, p), "barycentric reconstruction failed"
-    return u, v, w
+    assert np.allclose(
+        rec.astype(np.float64), p.astype(np.float64)
+    ), "barycentric reconstruction failed"
+    return u.astype(np.float64), v.astype(np.float64), w.astype(np.float64)
 
 
 def uv_fill_holes(img):

@@ -33,13 +33,16 @@ def read_obj(path):
     faces = []
     with open(path, "r", errors="replace") as f:
         for line in f:
-            if line.startswith("v "):
-                parts = line.split()
+            # token-dispatch (not startswith): tolerates leading whitespace,
+            # tab separators, and CRLF line endings
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
                 vertices.append((float(parts[1]), float(parts[2]), float(parts[3])))
-            elif line.startswith("f "):
-                parts = line.split()[1:]
+            elif parts[0] == "f":
                 idxs = []
-                for p in parts:
+                for p in parts[1:]:
                     s = p.split("/")[0]
                     i = int(s)
                     # OBJ is 1-based; negative indices are relative to the end.
@@ -74,17 +77,18 @@ def read_obj_with_uv(path):
     mtllib = None
     with open(path, "r", errors="replace") as f:
         for line in f:
-            if line.startswith("v "):
-                p = line.split()
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
                 vertices.append((float(p[1]), float(p[2]), float(p[3])))
-            elif line.startswith("vt "):
-                p = line.split()
+            elif p[0] == "vt":
                 uvs.append((float(p[1]), float(p[2])))
-            elif line.startswith("mtllib "):
+            elif p[0] == "mtllib":
                 mtllib = line.split(None, 1)[1].strip()
-            elif line.startswith("f "):
+            elif p[0] == "f":
                 corners = []
-                for tok in line.split()[1:]:
+                for tok in p[1:]:
                     parts = tok.split("/")
                     vi = int(parts[0])
                     vi = vi - 1 if vi > 0 else len(vertices) + vi
@@ -121,15 +125,17 @@ def read_obj_with_uv(path):
 
 
 def read_ply(path):
-    """Parse a PLY file (ascii or binary_little_endian).
+    """Parse a PLY file (ascii, binary_little_endian, or binary_big_endian).
 
     Returns (vertices f64 [V,3], faces i32 [F,3]). Faces may be empty
-    ([0,3]) for point-cloud PLYs. Extra vertex properties are skipped.
+    ([0,3]) for point-cloud PLYs. Extra vertex properties (normals, colors,
+    quality, even list-typed ones) are skipped; unknown property dtypes and
+    formats raise with an actionable message.
     """
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic != b"ply":
-            raise ValueError(f"{path}: not a PLY file")
+            raise ValueError(f"{path}: not a PLY file (missing 'ply' magic)")
         fmt = None
         elements = []  # list of (name, count, [(prop_name, dtype) or ('list', count_dt, item_dt, name)])
         cur = None
@@ -148,15 +154,25 @@ def read_ply(path):
                 cur = {"name": tokens[1], "count": int(tokens[2]), "props": []}
                 elements.append(cur)
             elif tokens[0] == "property":
-                if tokens[1] == "list":
-                    cur["props"].append(("list", _PLY_DTYPES[tokens[2]], _PLY_DTYPES[tokens[3]], tokens[4]))
-                else:
-                    cur["props"].append((tokens[2], _PLY_DTYPES[tokens[1]]))
+                try:
+                    if tokens[1] == "list":
+                        cur["props"].append(("list", _PLY_DTYPES[tokens[2]], _PLY_DTYPES[tokens[3]], tokens[4]))
+                    else:
+                        cur["props"].append((tokens[2], _PLY_DTYPES[tokens[1]]))
+                except KeyError as e:
+                    raise NotImplementedError(
+                        f"{path}: PLY property type {e} not supported "
+                        f"(known: {sorted(_PLY_DTYPES)})"
+                    ) from None
             elif tokens[0] == "end_header":
                 break
 
-        if fmt not in ("ascii", "binary_little_endian"):
-            raise NotImplementedError(f"PLY format {fmt} not supported")
+        if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
+            raise NotImplementedError(
+                f"{path}: PLY format '{fmt}' not supported (ascii, "
+                "binary_little_endian, binary_big_endian are)"
+            )
+        bo = ">" if fmt == "binary_big_endian" else "<"
 
         vertices = np.zeros((0, 3), dtype=np.float64)
         faces = np.zeros((0, 3), dtype=np.int32)
@@ -178,44 +194,68 @@ def read_ply(path):
                     for p in polys:
                         tris.extend(_triangulate_fan(p))
                     faces = np.asarray(tris, dtype=np.int32).reshape(-1, 3)
-            else:  # binary little endian
+            else:  # binary (either endianness)
                 if not has_list:
-                    dt = np.dtype([(p[0], "<" + p[1]) for p in props])
+                    dt = np.dtype([(p[0], bo + p[1]) for p in props])
                     data = np.frombuffer(f.read(dt.itemsize * count), dtype=dt, count=count)
                     if name == "vertex":
                         vertices = np.stack(
                             [data["x"], data["y"], data["z"]], axis=-1
                         ).astype(np.float64)
                 else:
-                    if name != "face" or len(props) != 1:
-                        # generic slow path: parse item by item, keep only faces
-                        pass
+                    # generic item-by-item path for elements with list
+                    # properties: collects face polygons AND vertex x/y/z
+                    # (a vertex element can legally carry a list property)
                     tris = []
+                    verts = []
                     for _ in range(count):
                         row_polys = None
+                        row_xyz = {}
                         for p in props:
                             if p[0] == "list":
-                                cnt_dt, item_dt = np.dtype("<" + p[1]), np.dtype("<" + p[2])
+                                cnt_dt, item_dt = np.dtype(bo + p[1]), np.dtype(bo + p[2])
                                 n = int(np.frombuffer(f.read(cnt_dt.itemsize), dtype=cnt_dt)[0])
                                 items = np.frombuffer(f.read(item_dt.itemsize * n), dtype=item_dt, count=n)
                                 if p[3] in ("vertex_indices", "vertex_index"):
                                     row_polys = [int(x) for x in items]
                             else:
-                                dt = np.dtype("<" + p[1])
-                                f.read(dt.itemsize)
+                                dt = np.dtype(bo + p[1])
+                                raw = np.frombuffer(f.read(dt.itemsize), dtype=dt)
+                                if p[0] in ("x", "y", "z"):
+                                    row_xyz[p[0]] = float(raw[0])
                         if name == "face" and row_polys is not None:
                             tris.extend(_triangulate_fan(row_polys))
+                        if name == "vertex" and len(row_xyz) == 3:
+                            verts.append((row_xyz["x"], row_xyz["y"], row_xyz["z"]))
                     if name == "face":
                         faces = np.asarray(tris, dtype=np.int32).reshape(-1, 3)
+                    if name == "vertex" and verts:
+                        vertices = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
     return vertices, faces
 
 
 def read_off(path):
-    """Parse an OFF file. Returns (vertices f64 [V,3], faces i32 [F,3])."""
-    with open(path, "r") as f:
-        tokens = f.read().split()
+    """Parse an OFF file. Returns (vertices f64 [V,3], faces i32 [F,3]).
+
+    Tolerates '#' comments (full-line or trailing) and the header keyword
+    fused with the counts line ('OFF 8 12 18'). COFF/NOFF/STOFF variants
+    carry extra per-vertex fields this parser does not model — rejected
+    with an actionable error rather than misparsed.
+    """
+    lines = []
+    with open(path, "r", errors="replace") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if line:
+                lines.append(line)
+    tokens = " ".join(lines).split()
     i = 0
-    if tokens[i] == "OFF":
+    if tokens and tokens[i].upper().endswith("OFF") and not tokens[i].lstrip("+-").replace(".", "").isdigit():
+        if tokens[i] != "OFF":
+            raise NotImplementedError(
+                f"{path}: OFF variant '{tokens[i]}' carries extra per-vertex "
+                "fields (colors/normals); only plain OFF is supported"
+            )
         i += 1
     nv, nf = int(tokens[i]), int(tokens[i + 1])
     i += 3  # skip edge count

@@ -1,15 +1,14 @@
 """Host-side image / camera / mask IO (reference utils.py:32-69).
 
-EXR depth maps are read through OpenCV (imageio's freeimage plugin needs a
-network download, which this framework never requires). The mask convention
-matches the reference: an object pixel is one whose EXR depth != 1e10, or a
-nonzero pixel of depth/mask.png.
+EXR depth maps are read through the NATIVE reader (utils/exr.py — imageio's
+freeimage plugin needs a network download and this image's OpenCV is built
+without OpenEXR; the framework requires neither). The mask convention matches
+the reference: an object pixel is one whose EXR depth != 1e10, or a nonzero
+pixel of depth/mask.png.
 """
 from __future__ import annotations
 
 import os
-
-os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
 import numpy as np
 import imageio.v2 as imageio
@@ -18,14 +17,9 @@ import imageio.v2 as imageio
 def imread(path):
     """Read an image as numpy (uint8 for png/jpg, float for EXR)."""
     if path.endswith(".exr"):
-        import cv2
+        from .exr import read_exr_image
 
-        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        if img is None:
-            raise IOError(f"Failed to read EXR: {path}")
-        if img.ndim == 3 and img.shape[2] >= 3:
-            img = img[..., ::-1]  # BGR -> RGB
-        return img
+        return read_exr_image(path)
     return np.asarray(imageio.imread(path))
 
 
@@ -37,8 +31,19 @@ def imwrite(path, img):
 
 def load_cameras(view_path):
     """(camCv2world [3,4]|[4,4] f32, K f32) from <view>/depth/cameras.npz
-    (reference utils.py:32-36)."""
-    cameras = np.load(os.path.join(view_path, "depth", "cameras.npz"))
+    (reference utils.py:32-36). Key drift (e.g. a re-exported npz using
+    world_mat_7, or missing camera_mat_0) raises with the keys actually
+    present instead of a bare KeyError."""
+    npz_path = os.path.join(view_path, "depth", "cameras.npz")
+    cameras = np.load(npz_path)
+    missing = [k for k in ("world_mat_0", "camera_mat_0") if k not in cameras]
+    if missing:
+        raise KeyError(
+            f"{npz_path}: missing {missing}; file contains "
+            f"{sorted(cameras.keys())} — the MeshViews camera convention "
+            "stores exactly world_mat_0 (cam-to-world) and camera_mat_0 (K) "
+            "per view directory (reference utils.py:32-36)"
+        )
     return (
         cameras["world_mat_0"].astype(np.float32),
         cameras["camera_mat_0"].astype(np.float32),

@@ -336,3 +336,33 @@ def test_fit_camera_to_resolution():
     out = render_video.fit_camera_to_resolution(cam, (1280, 720))
     assert out["width"] == 1280 and out["height"] == 720
     assert out["K"][0, 0] == out["K"][1, 1]
+
+
+def test_bake_barycentric_longdouble_precision():
+    """The UV barycentric solve runs in np.longdouble (reference uses
+    np.float128, bake_texture_field.py:358): on sliver triangles the
+    reconstruction residual must sit orders of magnitude below what a plain
+    f64 solve leaves, and the returned coordinates must still reconstruct
+    the texel exactly at f64 scale."""
+    from intrinsic_neural_fields_tpu.bake.bake import barycentric_2d_matched
+
+    rng = np.random.default_rng(0)
+    N = 20000
+    a = rng.uniform(0, 1024, (N, 2))
+    d = rng.normal(size=(N, 2))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    L = rng.uniform(1.0, 30.0, (N, 1))
+    b = a + d * L
+    perp = np.stack([-d[:, 1], d[:, 0]], 1)
+    c = (a + d * L * rng.uniform(0.2, 0.8, (N, 1))
+         + perp * rng.uniform(1e-4, 1e-1, (N, 1)))  # sliver heights
+    t = rng.dirichlet(np.ones(3), N)
+    p = t[:, 0:1] * a + t[:, 1:2] * b + t[:, 2:3] * c
+
+    u, v, w = barycentric_2d_matched(p, a, b, c)  # assert inside must hold
+    assert u.dtype == np.float64
+    rec = u[:, None] * a + v[:, None] * b + w[:, None] * c
+    err = np.abs(rec - p).max()
+    # measured: longdouble ~3e-8 px worst-case vs f64 ~8e-5 px on this
+    # distribution — gate well between the two
+    assert err < 1e-6, err
