@@ -18,8 +18,12 @@ pointer-chasing BVH, no variable-length lists):
      F, so nothing is ever dropped: the worst case degrades to the
      brute-force sweep, it never loses hits),
   3. sort entries by (tile Morton id, quantized camera-space depth) — ONE
-     jnp.argsort — and gather the per-face hit data into entry order, so a
-     tile's candidates are one contiguous, front-to-back slice,
+     stable jnp.argsort — and gather the per-face hit data into entry order,
+     so a tile's candidates are one contiguous, front-to-back slice
+     (an MXU-built counting radix sort with the identical permutation is
+     available as sort_method="radix", but measured a large LOSER on real
+     TPU: its per-pass permutation scatters serialize — RESULTS.md round-5
+     raster note),
   4. each ray packet (Z-ordered pixels => a packet spans a contiguous tile
      Morton range) walks only its own slice in depth order, with the same
      per-(ray,face) dual-basis arithmetic as ops/intersect.py — bit-identical
@@ -103,10 +107,85 @@ class _BinTables(NamedTuple):
     e_pad: int             # static: overflow segment base index in ed_t
     scene_min: jnp.ndarray  # [3] f32 scene AABB (per-ray search cap)
     scene_max: jnp.ndarray  # [3]
+    lost_faces: jnp.ndarray  # scalar i32: faces demoted whole to overflow
+                             # because the ~2F entry cap overflowed — a
+                             # correct-but-slow path every packet walks;
+                             # watch it in profiling (tools/trace_raster.py)
+
+
+_RADIX_BLOCK = 256     # rows per rank block (ranks <= 255: exact in bf16)
+_RADIX_DIGITS = 256    # 8-bit digits
+
+
+def _stable_radix_argsort(keys, total_bits):
+    """Stable ascending argsort of non-negative int32 keys — an LSD counting
+    radix sort built from MXU/VPU-friendly primitives instead of the bitonic
+    `sort` HLO (VERDICT r4 next-#4: the global argsort was ~11 ms of the
+    25.8 ms raster view at cat scale).
+
+    Returns the SAME permutation as jnp.argsort(keys, stable=True) (every
+    8-bit pass is a stable counting sort, so the composition is a stable
+    sort on the full key) — the binning tables are bit-identical either way.
+
+    MEASURED NEGATIVE RESULT on real TPU (kept for the record + other
+    backends): the two permutation scatters per pass lower to effectively
+    serial element stores on TPU — a full 512^2/82k-face view trace through
+    this path did not finish inside 500 s where the argsort path takes
+    ~26 ms device (RESULTS.md round-5 raster note). Default stays
+    sort_method="argsort"; the bitonic sort HLO is HBM-parallel.
+
+    Per pass: one-hot the digit per 256-row block, per-block digit counts +
+    an exclusive cumsum give the global bucket bases, a strictly-lower-
+    triangular [256,256] bf16 matmul against the one-hot gives each row's
+    rank among equal digits in its block (counts <= 255, exact in bf16),
+    and one scatter places (key, index) at base+rank. total_bits bounds the
+    key so high zero digits skip their passes.
+    """
+    E = keys.shape[0]
+    R, K = _RADIX_BLOCK, _RADIX_DIGITS
+    Ep = -(-E // R) * R
+    # Pad with all-ones keys: max digit in EVERY pass, and stability keeps
+    # the pads' relative order, so they stay glued to the end throughout.
+    pad_key = jnp.int32(2 ** 31 - 1)
+    k = jnp.pad(keys, (0, Ep - E), constant_values=pad_key)
+    idx = jnp.arange(Ep, dtype=jnp.int32)
+    nb = Ep // R
+    digit_iota = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    lower_tri = jnp.asarray(
+        np.tril(np.ones((R, R), np.float32), -1), jnp.bfloat16
+    )
+    for shift in range(0, total_bits, 8):
+        db = ((k >> shift) & (K - 1)).reshape(nb, R)
+        oh = (db[:, :, None] == digit_iota).astype(jnp.bfloat16)
+        t = jnp.sum(oh, axis=1, dtype=jnp.float32)           # [nb,K]
+        hist = jnp.sum(t, axis=0)
+        base = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.cumsum(hist)[:-1]]
+        )
+        block_base = base[None] + jnp.concatenate(
+            [jnp.zeros((1, K), jnp.float32), jnp.cumsum(t, axis=0)[:-1]], 0
+        )
+        ranks_all = jnp.einsum(
+            "rs,bsk->brk", lower_tri, oh,
+            preferred_element_type=jnp.float32,
+        )
+        rank = jnp.sum(ranks_all * oh.astype(jnp.float32), axis=-1)
+        pos = (
+            jnp.take_along_axis(block_base, db, axis=1) + rank
+        ).reshape(-1).astype(jnp.int32)
+        k = jnp.zeros(Ep, k.dtype).at[pos].set(k)
+        idx = jnp.zeros(Ep, idx.dtype).at[pos].set(idx)
+    return idx[:E]
+
+
+def _argsort_keys(keys, total_bits, method):
+    if method == "radix":
+        return _stable_radix_argsort(keys, total_bits)
+    return jnp.argsort(keys, stable=True)
 
 
 def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
-               W, H, tile_px, chunk, compact=True):
+               W, H, tile_px, chunk, compact=True, sort_method="argsort"):
     """Build the per-view binning tables. cmin/cmax: [2] f32 hulls of the ray
     pixel coordinates (conservative drop bounds for off-screen faces).
 
@@ -195,6 +274,7 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
     zq = jnp.clip(((zmin - zmn) / step).astype(jnp.int32), 0, _ZQ_MAX)
     zfloor = zmn + zq.astype(jnp.float32) * step  # <= zmin <= any hit t
 
+    key_bits = int(T_ids << _Z_BITS).bit_length()
     invalid_key = jnp.int32(T_ids << _Z_BITS)
 
     # Up to 2x2 entries per face, flattened [F,4] slot-major.
@@ -225,13 +305,16 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
             .at[slot].set(jnp.where(fits, keys, invalid_key))[:Ecap]
         )
         fid4 = (jnp.arange(4 * F, dtype=jnp.int32) // 4)
+        # Unfilled cfid slots keep face id 0 — safe ONLY because their keys
+        # stay invalid_key, so valid_e masks ed_e/ez_e to (0, +inf) and such
+        # an entry can never win a hit; never read efid without that mask.
         cfid = jnp.zeros((Ecap + 1,), jnp.int32).at[slot].set(fid4)[:Ecap]
-        order = jnp.argsort(ckeys)
+        order = _argsort_keys(ckeys, key_bits, sort_method)
         sorted_keys = jnp.take(ckeys, order)
         entry_fid = jnp.take(cfid, order)
         E = Ecap
     else:
-        order = jnp.argsort(keys)
+        order = _argsort_keys(keys, key_bits, sort_method)
         sorted_keys = jnp.take(keys, order)
         entry_fid = (order // 4).astype(jnp.int32)
         E = 4 * F
@@ -255,7 +338,7 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
     # Includes compaction-demoted faces (lost): tested against every ray,
     # so their partial tile entries can never cause a missed hit.
     okey = jnp.where(overflow | lost, zq, jnp.int32(1 << 30))
-    oorder = jnp.argsort(okey).astype(jnp.int32)
+    oorder = _argsort_keys(okey, 31, sort_method).astype(jnp.int32)
     o_count = jnp.sum((overflow | lost).astype(jnp.int32))
     Op = -(-F // chunk) * chunk
     pad_o = Op - F
@@ -284,6 +367,7 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
         ed_t=ed_t, ed_rows=ed_rows, efid=efid, offsets=offsets,
         czmin_e=czmin_e, czmin_o=czmin_o, o_chunks=o_chunks, e_pad=Ep,
         scene_min=scene_min, scene_max=scene_max,
+        lost_faces=jnp.sum(lost.astype(jnp.int32)),
     )
 
 
@@ -414,6 +498,7 @@ def intersect_coords_pinhole_core(
     coord_hull=None,
     return_dirs: bool = False,
     compact: bool = True,
+    sort_method: str = "argsort",
 ):
     """Unjitted trace body (embed inside a caller's jit / shard_map).
 
@@ -449,7 +534,7 @@ def intersect_coords_pinhole_core(
         cmin, cmax = coord_hull[0], coord_hull[1]
     tables = _bin_faces(
         vertices, faces, camCv2world, K, cmin, cmax, W, H, tile_px, chunk,
-        compact=compact,
+        compact=compact, sort_method=sort_method,
     )
     best_t, best_e = _traverse(
         tables, origins, dirs, coords,
@@ -487,7 +572,7 @@ def intersect_coords_pinhole_core(
 @functools.partial(
     jax.jit,
     static_argnames=("W", "H", "tile_px", "ray_tile", "chunk", "t_max",
-                     "compact"),
+                     "compact", "sort_method"),
 )
 def intersect_coords_pinhole(
     vertices,
@@ -503,6 +588,7 @@ def intersect_coords_pinhole(
     chunk: int = 256,
     t_max: float = np.inf,
     compact: bool = True,
+    sort_method: str = "argsort",
 ):
     """Nearest-hit trace of the pinhole rays through pixel `coords` [L,2].
 
@@ -521,5 +607,5 @@ def intersect_coords_pinhole(
     return intersect_coords_pinhole_core(
         vertices, faces, camCv2world, K, coords,
         W=W, H=H, tile_px=tile_px, ray_tile=ray_tile, chunk=chunk,
-        t_max=t_max, compact=compact,
+        t_max=t_max, compact=compact, sort_method=sort_method,
     )

@@ -13,6 +13,7 @@ behind-camera geometry (camera inside the mesh), off-center framing,
 non-square and non-power-of-two resolutions, and degenerate faces.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from intrinsic_neural_fields_tpu.geometry.primitives import icosphere
@@ -88,6 +89,7 @@ def _sorted_blob(subdiv):
     return m
 
 
+@pytest.mark.slow
 def test_full_view_matches_cone_tracer():
     m = _sorted_blob(4)
     H = W = 128
@@ -98,6 +100,7 @@ def test_full_view_matches_cone_tracer():
     _compare(m, cam, K, coords, H, W)
 
 
+@pytest.mark.slow
 def test_masked_morton_subset():
     """The renderer traces a Z-ordered masked subset padded by edge-repeat;
     packets then span multiple screen tiles."""
@@ -156,6 +159,7 @@ def test_off_center_and_background_rays():
     assert v.any() and (~v).any()
 
 
+@pytest.mark.slow
 def test_non_square_non_pow2():
     m = _sorted_blob(3)
     H, W = 96, 132
@@ -166,6 +170,7 @@ def test_non_square_non_pow2():
     _compare(m, cam, K, coords, H, W, ray_tile=512)
 
 
+@pytest.mark.slow
 def test_degenerate_faces_ignored():
     m = _sorted_blob(3)
     f = np.asarray(m.faces)
@@ -178,6 +183,7 @@ def test_degenerate_faces_ignored():
     _compare(m, cam, K, coords, H, W)
 
 
+@pytest.mark.slow
 def test_coords_outside_grid():
     """Undistorted pixel coordinates can land outside [0,W)x[0,H) (the
     Meshroom radial-k3 render path). Rays must clamp into the same border
@@ -197,6 +203,7 @@ def test_coords_outside_grid():
     assert np.asarray(ref.valid).any()
 
 
+@pytest.mark.slow
 def test_renderer_raster_matches_cone():
     """Renderer(tracer='raster') (the default) must produce the same image as
     tracer='cone' up to the f16 wire grid — hit arithmetic is shared, so only
@@ -248,6 +255,7 @@ def test_zoomed_in_spans_overflow():
     _compare(m, cam, K, coords, H, W)
 
 
+@pytest.mark.slow
 def test_compact_bit_equal_to_slot_major():
     """Entry compaction (the default) must not change a single bit when
     nothing demotes: cumsum positions preserve slot-major order, and the
@@ -270,6 +278,7 @@ def test_compact_bit_equal_to_slot_major():
     np.testing.assert_array_equal(np.asarray(a.bary), np.asarray(b.bary))
 
 
+@pytest.mark.slow
 def test_compact_cap_demotes_to_overflow():
     """Engineered worst case for the entry cap: an 8x8 grid of 36px quads at
     32px pitch, each straddling one tile border in u AND v (36px + the ~3px
@@ -318,3 +327,46 @@ def test_compact_cap_demotes_to_overflow():
     m = M()
     m.vertices, m.faces = verts, faces
     _compare(m, cam, K, coords, H, W)
+
+
+def test_radix_argsort_matches_stable_argsort():
+    """The MXU counting radix sort must return the EXACT permutation of
+    jnp.argsort(stable=True) — duplicates, sentinel keys, pad keys, odd
+    sizes, every key width used by the binner."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops.raster import _stable_radix_argsort
+
+    rng = np.random.default_rng(0)
+    for n, hi, bits in [(1, 2, 8), (255, 16, 8), (256, 1 << 14, 16),
+                        (1000, 1 << 24, 24), (4096, 1 << 30, 31),
+                        (7777, 8, 8)]:
+        keys = jnp.asarray(rng.integers(0, hi, size=n).astype(np.int32))
+        got = np.asarray(_stable_radix_argsort(keys, bits))
+        want = np.asarray(jnp.argsort(keys, stable=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n} hi={hi}")
+
+
+def test_radix_and_argsort_binners_bit_identical():
+    """sort_method='radix' (default) and 'argsort' produce bit-identical
+    traces (same permutation => same tables => same hits)."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops.raster import intersect_coords_pinhole
+
+    H = W = 96
+    mesh = _sorted_blob(4)
+    verts = np.asarray(mesh.vertices, np.float32)
+    faces = np.asarray(mesh.faces, np.int32)
+    cam = _look_at_cam(3.0 * np.array([0.3, -0.9, 0.35]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    hits_r = intersect_coords_pinhole(
+        verts, faces, cam, K, coords, W=W, H=H, sort_method="radix")
+    hits_a = intersect_coords_pinhole(
+        verts, faces, cam, K, coords, W=W, H=H, sort_method="argsort")
+    np.testing.assert_array_equal(np.asarray(hits_r.valid), np.asarray(hits_a.valid))
+    np.testing.assert_array_equal(np.asarray(hits_r.face_idx), np.asarray(hits_a.face_idx))
+    np.testing.assert_array_equal(np.asarray(hits_r.t), np.asarray(hits_a.t))
+    np.testing.assert_array_equal(np.asarray(hits_r.bary), np.asarray(hits_a.bary))

@@ -112,6 +112,24 @@ def main():
     run_raster()
     print(f"raster warm wall: {(time.time()-t0)*1e3:.1f} ms", flush=True)
 
+    # Bin health: faces demoted to the every-packet overflow segment (entry
+    # cap overflow or degenerate projection) are a hidden performance cliff —
+    # surface the counters so cap regressions are observable.
+    from intrinsic_neural_fields_tpu.ops.raster import _bin_faces
+
+    tb = jax.jit(
+        lambda: _bin_faces(
+            vj, fj, jnp.asarray(cam, jnp.float32)[:3, :4],
+            jnp.asarray(K, jnp.float32)[:3, :3],
+            jnp.min(cj, axis=0), jnp.max(cj, axis=0),
+            W, H, args.tile_px, args.chunk,
+        )
+    )()
+    print(f"bins: cap-demoted faces {int(tb.lost_faces)}, "
+          f"overflow chunks {int(tb.o_chunks)} "
+          f"({int(tb.o_chunks) * args.chunk} slots walked by every packet)",
+          flush=True)
+
     if not args.skip_cone:
         hc = run_cone()
         t0 = time.time()
