@@ -70,3 +70,35 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------- test tiers
+#
+# `pytest tests/ -q`          -> fast tier (multi-minute tests skipped)
+# `pytest tests/ -q --slow`   -> everything (CI / pre-release tier)
+# `RUN_SLOW=1 pytest tests/`  -> everything (env form for wrappers)
+#
+# Slow tests are marked @pytest.mark.slow (whole files via pytestmark). The
+# fast tier still covers every subsystem — the slow tier adds the
+# multi-epoch end-to-end flows and large-geometry parity sweeps.
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (multi-minute end-to-end flows)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test (runs with --slow or RUN_SLOW=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --slow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

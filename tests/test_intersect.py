@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from intrinsic_neural_fields_tpu.geometry.primitives import cube, icosphere
@@ -137,6 +138,7 @@ def test_miss_rays_flagged_invalid():
     assert int(hits.face_idx[0]) == -1
 
 
+@pytest.mark.slow
 def test_shared_origin_and_mxu_variants_match_base():
     """shared_origin hoists the origin contractions (renderer/preprocess fast
     path); mxu moves the direction contractions onto the matrix unit. Both

@@ -57,6 +57,7 @@ def test_neutex_loss_components():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_neutex_trains_on_toy_problem():
     """Fit a colored sphere: xyz on S^2, color = position-based; the wrapper
     loss (color + inverse cycle) must drop substantially."""
@@ -131,6 +132,7 @@ def test_pretrained_mapping_npz_roundtrip(tmp_path):
             np.testing.assert_allclose(a[mlp][lin]["kernel"], b[mlp][lin]["kernel"])
 
 
+@pytest.mark.slow
 def test_neutex_through_factory_and_epoch_fns(tmp_path):
     """Full integration: `type: neutex` config -> factory -> jitted epoch."""
     from intrinsic_neural_fields_tpu.data.sampler import RayData

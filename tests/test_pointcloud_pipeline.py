@@ -44,6 +44,7 @@ def test_pointcloud_detection_and_triangulation(cloud_setup):
     assert np.isfinite(m.face_normals).all()
 
 
+@pytest.mark.slow
 def test_pointcloud_end_to_end_training(cloud_setup):
     from intrinsic_neural_fields_tpu.geometry.mesh import load_mesh
     from intrinsic_neural_fields_tpu.spectral.eigensolver import EigenfuncsProcessor

@@ -2,6 +2,7 @@
 cull on/off bit-exactness on a real camera view, Morton on/off render equality,
 trace-cache invalidation on resolution/geometry changes, and the LRU bound."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from intrinsic_neural_fields_tpu.geometry.primitives import icosphere
@@ -52,6 +53,7 @@ def _renderer(H=48, W=48, k=16, seed=0):
     return Renderer(model, variables, m, eigenfunctions=efuncs, H=H, W=W), m, efuncs
 
 
+@pytest.mark.slow
 def test_cull_bitexact_on_camera_view():
     """RESULTS claims all tracer variants produce bit-identical hits; assert
     it: cone culling may only skip tiles that contain NO nearest hit."""
@@ -69,6 +71,7 @@ def test_cull_bitexact_on_camera_view():
     np.testing.assert_array_equal(np.asarray(h_cull.bary), np.asarray(h_flat.bary))
 
 
+@pytest.mark.slow
 def test_renderer_matches_unordered_reference_path():
     """Morton pixel/face ordering is a perf layout choice; the rendered image
     must equal a straight natural-order trace+infer composition."""
@@ -101,6 +104,7 @@ def test_renderer_matches_unordered_reference_path():
     np.testing.assert_array_equal(np.sort(hit_idxs), np.nonzero(valid)[0])
 
 
+@pytest.mark.slow
 def test_trace_cache_invalidated_on_resolution_change():
     """Regression for the 4928bbb bug class: a cached trace must never be
     served after set_height/set_width changes the pixel grid."""
@@ -120,6 +124,7 @@ def test_trace_cache_invalidated_on_resolution_change():
     np.testing.assert_array_equal(img32, expected)
 
 
+@pytest.mark.slow
 def test_trace_cache_invalidated_on_mesh_transform():
     renderer, _, _ = _renderer(48, 48)
     cam, K, _, _ = _camera_rays(48, 48)
@@ -136,6 +141,7 @@ def test_trace_cache_invalidated_on_mesh_transform():
     np.testing.assert_array_equal(img_after, img_nocache)
 
 
+@pytest.mark.slow
 def test_trace_cache_lru_bounded():
     renderer, _, _ = _renderer(32, 32)
     K = _simple_K(32, 32)
@@ -146,6 +152,7 @@ def test_trace_cache_lru_bounded():
     assert len(renderer._trace_cache) == _TRACE_CACHE_MAX
 
 
+@pytest.mark.slow
 def test_sharded_render_bit_equal_to_single_device():
     """Renderer(mesh_devices=...) shards the padded ray buckets 8-way; the
     rendered image and hit set must be BIT-equal to single-device."""
@@ -176,6 +183,7 @@ def test_sharded_render_bit_equal_to_single_device():
     )
 
 
+@pytest.mark.slow
 def test_bf16_feature_table_render_close_to_f32():
     """feature_dtype='bfloat16' (matching a precompute_dtype:bfloat16 training
     run) must render within bf16 quantization of the f32 table."""
@@ -192,6 +200,7 @@ def test_bf16_feature_table_render_close_to_f32():
     assert err < 0.02, err  # well under the 8-bit image grid (1/255 ~ 0.004 x few)
 
 
+@pytest.mark.slow
 def test_wire_u8_matches_8bit_quantized_f16():
     """wire_u8=True must produce exactly the image an 8-bit sink would have
     written from the f16-wire render."""

@@ -149,6 +149,7 @@ def test_negative_lambda0_sign_fix(tmp_path):
     assert out.shape == (10, 3)
 
 
+@pytest.mark.slow
 def test_chefsi_at_preprocessing_scale():
     """The at-scale on-device path (VERDICT r1 item #4): Chebyshev-filtered
     subspace iteration at k=529 (>=512, shell-aligned so the span is unique)

@@ -113,17 +113,27 @@ def test_training_learns_and_full_flow(synthetic_setup):
     # eval CLI over the test split: hits the renderer + metrics stack
     from intrinsic_neural_fields_tpu.evaluation.eval_cli import evaluate_views
 
+    # Provide an LPIPS weights npz (random but correctly shaped — the real
+    # checkpoint is env-blocked; the port itself is parity-pinned against a
+    # torch twin in test_lpips.py) so the LPIPS column exercises end-to-end.
+    from test_lpips import _random_weight_arrays
+
+    lpips_npz = os.path.join(synthetic_setup["tmp"], "lpips_w.npz")
+    np.savez(lpips_npz, **_random_weight_arrays())
+
     means, per_view = evaluate_views(
         os.path.join(synthetic_setup["tmp"], "eval_out"), cfg,
-        synthetic_setup["dataset"], "test",
+        synthetic_setup["dataset"], "test", lpips_weights_path=lpips_npz,
     )
     assert means["psnr"] > 14.0
     assert 0.0 <= means["dssim_rescaled"] <= 50.0
+    assert np.isfinite(means["lpips_rescaled"])
     assert os.path.exists(
         os.path.join(synthetic_setup["tmp"], "eval_out", "evaluation_metrics.pkl")
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_is_deterministic(synthetic_setup):
     # Run A: 6 epochs straight. Run B: 4 epochs (checkpoint at epoch 4),
     # then resume for the last 2. Final params must match exactly.
@@ -172,6 +182,7 @@ def test_renderer_masks_and_background(synthetic_setup):
     assert disagree < 0.02, disagree
 
 
+@pytest.mark.slow
 def test_loss_types_run(synthetic_setup):
     for loss_type in ("L2", "cauchy"):
         cfg = synthetic_setup["config"](f"out_loss_{loss_type}", epochs=2)
@@ -286,6 +297,7 @@ def test_k_ranges_config_expansion(tmp_path):
     assert k == sorted(set(k))
 
 
+@pytest.mark.slow
 def test_render_video_cli_smoke(synthetic_setup, tmp_path, monkeypatch):
     """render_video.main() end to end at a tiny resolution: Fraction fit,
     pipelined turntable loop, frame files on disk (ffmpeg-less path prints
@@ -358,6 +370,7 @@ def test_pipelined_foreach_order_and_depth():
         assert [i for op, i in log if op == "d"] == list(range(7))
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_fused_adam_path(synthetic_setup):
     """Resume determinism THROUGH THE FUSED IN-KERNEL-ADAM PATH: the
     checkpoint round-trips opt_state (mu/nu/count + inject hyperparams)
@@ -402,6 +415,7 @@ def test_checkpoint_resume_fused_adam_path(synthetic_setup):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rff_fused_pre_embed_end_to_end(synthetic_setup):
     """training.fused_mlp on an RFF config: the Trainer pre-embeds every
     split (fixed encoding of the hit position) and runs the mlp_core_view
@@ -464,6 +478,7 @@ def test_rff_fused_pre_embed_end_to_end(synthetic_setup):
     assert not np.allclose(old_rows, new_rows)
 
 
+@pytest.mark.slow
 def test_parallelize_trainer_dp_pre_embed(synthetic_setup):
     """Trainer-level data parallelism (what `train.py --num_devices D`
     drives): parallelize_trainer swaps the epoch fns for mesh-sharded ones
@@ -490,6 +505,7 @@ def test_parallelize_trainer_dp_pre_embed(synthetic_setup):
     assert epoch_psnr(m["sq_err_per_sample"]) > 14.0
 
 
+@pytest.mark.slow
 def test_shot_family_end_to_end_smoke(synthetic_setup, tmp_path):
     """The shape-descriptor SHOT family path end to end at toy scale:
     compute_shot_descriptors -> npy -> the config-default feature loading
