@@ -95,6 +95,8 @@ def preprocess_dataset(split, dataset_path, path_to_mesh, out_dir, dataset_type,
 
 
 def main():
+    from intrinsic_neural_fields_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args()
     print("Preprocessing dataset...")
     preprocess_dataset(

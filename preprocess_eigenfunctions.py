@@ -30,6 +30,8 @@ def parse_args():
 
 
 def main():
+    from intrinsic_neural_fields_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args()
     geometry = "pointcloud" if args.laplacian_type == "pc_vert_robust" else "mesh"
     print(f"Computing the first {args.k_max} eigenfunctions of a {geometry}...")

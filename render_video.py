@@ -64,6 +64,8 @@ def fit_camera_to_resolution(cam_orig, res):
 
 
 def main():
+    from intrinsic_neural_fields_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args()
     config = load_config(args.config_path)
     # uint8 color transfers: video frames are 8-bit, so the quantization is

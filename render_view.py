@@ -22,6 +22,8 @@ def parse_args():
 
 
 def main():
+    from intrinsic_neural_fields_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args()
     config = load_config(args.config_path)
 

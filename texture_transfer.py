@@ -128,6 +128,8 @@ def build_transferred_renderer(config, target_mesh_path, source_efuncs_full,
 
 
 def main():
+    from intrinsic_neural_fields_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args()
     config = load_config(args.config_path)
 

@@ -33,6 +33,8 @@ def parse_args():
 
 
 def main():
+    from intrinsic_neural_fields_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args()
     config = load_config_file(args.config_path, args.allow_checkpoint_loading)
 
