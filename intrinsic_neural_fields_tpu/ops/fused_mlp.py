@@ -1005,7 +1005,7 @@ def adam_hyper_rows(counts, learning_rate, b1=0.9, b2=0.999, eps=1e-8,
     )
 
 
-def make_fused_adam_apply(spec: FusedMLPSpec, interpret=None):
+def make_fused_adam_apply(spec: FusedMLPSpec, interpret=None, tail=None):
     """Adam update alone as ONE pallas call over the padded kernel-layout
     lists — the data-parallel half of the in-kernel step: each device runs
     make_fused_train_grads (gradients leave the kernel as the per-device
@@ -1026,7 +1026,10 @@ def make_fused_adam_apply(spec: FusedMLPSpec, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    n_wb = 2 * len(spec.weight_names())
+    # tail (view-dependent): the operand lists carry the four directional-
+    # head entries too — the update loop is layout-agnostic, only the count
+    # changes.
+    n_wb = 2 * len(spec.weight_names()) + (4 if tail is not None else 0)
 
     def kernel(*refs):
         hyper_ref = refs[0]

@@ -84,14 +84,32 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
         # slower than XLA when the per-row gather dominates, RESULTS.md).
         print("fused_mlp: ignored in the full-shuffle DP path (blocks only)")
         fused = False
+    viewdep_fused = False
+    vd_tail = None
     if fused:
-        from ..train.steps import fused_mlp_eligible
+        from ..train.steps import fused_mlp_eligible, fused_viewdep_eligible
 
-        if not fused_mlp_eligible(model):
-            # e.g. a view-dependent config with training.fused_mlp: its
-            # single-device epochs run the tail-mode kernel, but the DP
-            # split (grads -> pmean -> apply) doesn't cover it yet — fall
-            # back to the XLA step rather than refusing the run.
+        viewdep_fused = fused_viewdep_eligible(model)
+        if viewdep_fused:
+            # DP split of the viewdep tail-mode kernel: the hit_vencs table
+            # shards along the batch axis next to hit_features (see
+            # train/steps.py). Built at epoch time; requires pre-encoded
+            # vencs — checked there.
+            import jax as _jax
+
+            from ..models.texture_field import view_encoder_apply
+            from ..ops.fused_mlp import ViewDepTailSpec
+
+            _venc_fn = view_encoder_apply(model)
+            _venc_in = int(_jax.eval_shape(
+                _venc_fn,
+                jax.ShapeDtypeStruct((1, 3), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ).shape[1])
+            vd_tail = ViewDepTailSpec(
+                venc_in=_venc_in, d_hidden=model.directional_hidden_dim
+            )
+        elif not fused_mlp_eligible(model):
             print("fused_mlp: model not DP-fused-eligible; using the XLA "
                   "data-parallel step")
             fused = False
@@ -125,6 +143,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
             unit_ray_dirs=take(data.unit_ray_dirs),
             face_idxs=take(data.face_idxs),
             hit_features=take(data.hit_features),
+            hit_vencs=take(data.hit_vencs),
         )
 
     @functools.partial(jax.jit, static_argnames=("num_batches", "batch_size"), donate_argnums=(0,))
@@ -229,6 +248,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 unit_ray_dirs=None if data.unit_ray_dirs is None else P(axis_name),
                 face_idxs=None if data.face_idxs is None else P(axis_name),
                 hit_features=P(axis_name),
+                hit_vencs=None if data.hit_vencs is None else P(axis_name),
             )
 
             if fused:
@@ -242,17 +262,37 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                     make_fused_train_grads,
                     pad_flax_params,
                     unpad_flax_params,
+                    viewdep_grads_to_padded,
+                    viewdep_pad_flax_params,
+                    viewdep_unpad_flax_params,
+                    viewdep_wb_from_padded,
                     wb_from_padded,
                 )
                 from ..train.steps import _adam_opt_view, _pick_fused_tile
 
+                if viewdep_fused:
+                    assert data.hit_vencs is not None, (
+                        "view-dependent fused DP requires pre-encoded view "
+                        "directions (data.sampler.precompute_hit_vencs) on "
+                        "the streaming blocks path"
+                    )
                 k_in = data.features.shape[1]
                 spec = FusedMLPSpec(
                     num_layers=model.num_layers,
                     k_in=k_in,
                     hidden=model.hidden_dim,
                     skip_idx=model.skip_layer_idx,
+                    out_dim=(model.bottleneck_vec_dim if viewdep_fused else 3),
                 )
+                if viewdep_fused:
+                    pad_flax_params = (
+                        lambda sp, par: viewdep_pad_flax_params(sp, vd_tail, par)
+                    )
+                    unpad_flax_params = (
+                        lambda sp, par: viewdep_unpad_flax_params(sp, vd_tail, par)
+                    )
+                    wb_from_padded = viewdep_wb_from_padded
+                    grads_to_padded = viewdep_grads_to_padded
                 # Streaming kernel on the shard-local feature table (same
                 # scalar-prefetch DMA as train/steps.py — offsets are local
                 # to the device's own rows under shard_map).
@@ -261,11 +301,12 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 from ..train.steps import _effective_interleave
 
                 tile = _pick_fused_tile(
-                    spec, local_b, stream=fused_stream, x_bytes=x_bytes
+                    spec, local_b, stream=fused_stream, x_bytes=x_bytes,
+                    tail=vd_tail,
                 )
                 fused_run = make_fused_train_grads(
                     spec, loss_type, batch_tile=tile,
-                    stream=fused_stream,
+                    stream=fused_stream, tail=vd_tail,
                     interleave=_effective_interleave(fused_interleave, tile),
                 )
                 # In-kernel Adam apply after the cross-device pmean (the DP
@@ -277,7 +318,7 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                     and _adam_opt_view(state.opt_state) is not None
                 )
                 if use_kernel_adam:
-                    apply_run = make_fused_adam_apply(spec)
+                    apply_run = make_fused_adam_apply(spec, tail=vd_tail)
 
                 def _pad_opt(opt_state, params):
                     return _optax.tree_map_params(
@@ -304,7 +345,15 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 params_p, opt_state, acc_loss, acc_sq, acc_n = carry
                 start = blk * local_b
                 wb = wb_from_padded(spec, params_p)
-                if fused_stream:
+                if fused_stream and viewdep_fused:
+                    gt = lax.dynamic_slice(
+                        data.expected_rgbs, (start, 0), (local_b, 3)
+                    )
+                    grad_list, loss_sum, sq_sum = fused_run(
+                        wb, data.hit_features, data.hit_vencs, gt,
+                        blk * (local_b // tile), local_b
+                    )
+                elif fused_stream:
                     gt = lax.dynamic_slice(
                         data.expected_rgbs, (start, 0), (local_b, 3)
                     )
@@ -337,9 +386,16 @@ def make_dp_epoch_fns(model, optimizer, loss_type, mesh, axis_name="data",
                 gt = lax.dynamic_slice(
                     data.expected_rgbs, (blk * local_b, 0), (local_b, 3)
                 )
-                grad_list, loss_sum, sq_sum = fused_run(
-                    wb, data.hit_features, gt, blk * (local_b // tile), local_b
-                )
+                if viewdep_fused:
+                    grad_list, loss_sum, sq_sum = fused_run(
+                        wb, data.hit_features, data.hit_vencs, gt,
+                        blk * (local_b // tile), local_b
+                    )
+                else:
+                    grad_list, loss_sum, sq_sum = fused_run(
+                        wb, data.hit_features, gt, blk * (local_b // tile),
+                        local_b
+                    )
                 grad_list = lax.pmean(grad_list, axis_name)
                 wb, m, v = apply_run(wb, m, v, hyper, grad_list)
                 acc_loss = acc_loss + lax.psum(loss_sum, axis_name) / 3.0

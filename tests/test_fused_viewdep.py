@@ -306,3 +306,82 @@ def test_viewdep_trainer_precomputes_vencs(tmp_path):
     trainer.train()
     assert np.isfinite(trainer.min_val_loss if hasattr(trainer, "min_val_loss")
                        else 0.0)
+
+
+def test_viewdep_dp_tracks_single_device():
+    """Viewdep fused under data parallelism: grads kernel in tail mode ->
+    pmean -> in-kernel apply, over the 8-virtual-device mesh. Loss curves
+    must land in the same regime as the single-device fused run (batch
+    composition differs: sharded block order)."""
+    from intrinsic_neural_fields_tpu.data.sampler import (
+        RayData,
+        precompute_hit_features,
+        precompute_hit_vencs,
+    )
+    from intrinsic_neural_fields_tpu.parallel import (
+        make_device_mesh,
+        make_dp_epoch_fns,
+    )
+    from intrinsic_neural_fields_tpu.train.steps import (
+        create_train_state,
+        make_epoch_fns,
+    )
+
+    mesh = icosphere(2)
+    k, n = 24, 4096
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(mesh.num_vertices, k)).astype(np.float32)
+    vids = np.asarray(mesh.faces)[
+        rng.integers(0, mesh.num_faces, size=n)].astype(np.int32)
+    bary = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    fids = rng.integers(0, mesh.num_faces, size=n).astype(np.int32)
+    interp = np.einsum("bj,bjk->bk", bary, feats[vids])
+    W = rng.normal(size=(k, 3)).astype(np.float32) * 0.3
+    rgbs = (1.0 / (1.0 + np.exp(-(interp @ W)))).astype(np.float32)
+
+    data = precompute_hit_features(RayData(
+        features=jnp.asarray(feats), feature_strategy="efuncs",
+        vertex_idxs_of_hit_faces=jnp.asarray(vids),
+        barycentric_coords=jnp.asarray(bary),
+        expected_rgbs=jnp.asarray(rgbs),
+        unit_ray_dirs=jnp.asarray(dirs), face_idxs=jnp.asarray(fids),
+    ))
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 128, "skip_layer_idx": 2,
+           "view_dependence": {
+               "bottleneck_vec_dim": 128, "include_view_dir": True,
+               "embed_size": 4, "directional_hidden_dim": 128,
+               "in_dim_view_dir": 1, "strategy": "intrinsic"}}
+    model = make_model(cfg, mesh=mesh)
+    variables = init_model(model, cfg, mesh=mesh)
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+    venc_fn = view_encoder_apply(model)
+    venc_in = int(jax.eval_shape(
+        venc_fn, jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32)).shape[1])
+    data_v = precompute_hit_vencs(venc_fn, data, -(-venc_in // 128) * 128)
+
+    dev_mesh = make_device_mesh(8)
+    copy = lambda v: jax.tree_util.tree_map(jnp.array, v)
+    dp_train, dp_val = make_dp_epoch_fns(
+        model, optimizer, "L1", dev_mesh, shuffle="blocks", fused=True)
+    sd_train, sd_val = make_epoch_fns(
+        model, optimizer, "L1", shuffle="blocks", fused=True)
+
+    state_dp = create_train_state(copy(variables), optimizer)
+    state_sd = create_train_state(copy(variables), optimizer)
+    key = jax.random.PRNGKey(5)
+    for e in range(5):
+        kk = jax.random.fold_in(key, e)
+        state_dp, m_dp = dp_train(state_dp, kk, data_v, 8, 512)
+        state_sd, m_sd = sd_train(state_sd, kk, data_v, 8, 512)
+
+    l_dp = float(jax.device_get(m_dp["loss"]))
+    l_sd = float(jax.device_get(m_sd["loss"]))
+    assert np.isfinite(l_dp) and np.isfinite(l_sd)
+    assert abs(l_dp - l_sd) < 0.3 * max(l_dp, l_sd), (l_dp, l_sd)
+    v_dp = float(jax.device_get(dp_val(state_dp, data_v, 512))["loss"])
+    v_sd = float(jax.device_get(sd_val(state_sd, data_v, 512))["loss"])
+    assert abs(v_dp - v_sd) < 0.3 * max(v_dp, v_sd), (v_dp, v_sd)
