@@ -364,3 +364,26 @@ def test_exr_reader_on_real_openexr_file():
         assert v.shape == (16, 16)
         assert 0.0 <= v.min() and v.max() <= 1.0
     assert chans["A"].max() == 1.0
+
+
+# ----------------------------------------------------------- compile cache
+
+def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
+    import jax
+
+    from intrinsic_neural_fields_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    target = str(tmp_path / "jaxcache")
+    monkeypatch.setenv("INF_TPU_JAX_CACHE_DIR", target)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_persistent_compile_cache() == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        # opt-out
+        monkeypatch.setenv("INF_TPU_JAX_CACHE_DIR", "0")
+        assert enable_persistent_compile_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
