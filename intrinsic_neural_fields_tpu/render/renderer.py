@@ -12,6 +12,7 @@ to the next multiple of a bucket size; jit caches one executable per bucket.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 from collections import OrderedDict
 from typing import NamedTuple
@@ -35,6 +36,20 @@ _INFER_CHUNK = 1 << 13     # model/feature-gather chunk inside the jit
 _TRACE_CACHE_MAX = 8       # LRU bound: device arrays per cached trace are
                            # ~Lpad*(3+3+3+1+1)*4B; unbounded growth over a
                            # long render_video session would accumulate HBM
+_PIXEL_CACHE_MAX = 8       # LRU bound on cached per-view pixel-index bundles
+                           # (device int32 [Lpad] + host scatter metadata)
+
+
+class _PixelEntry(NamedTuple):
+    """Per-(H, W, mask) pixel bundle — a pure function of the view's pixel
+    SET, shared by every camera pose that renders it (all frames of a
+    turntable/video, every TensorBoard view of an unmasked render)."""
+    pix_idx: object   # [L] host int32, masked pixel ids in Morton order
+    morton: object    # [L] host permutation (scatter-back order)
+    L: int
+    Lpad: int
+    hull: object      # [2,2] f32 (cmin; cmax) pixel hull (raster tracer)
+    idx_dev: object   # [Lpad] int32 committed device array
 
 
 class _PendingRender(NamedTuple):
@@ -189,6 +204,12 @@ class Renderer:
         self.H = H
         self.W = W
         self.background = background
+        # Pixel-index / undistorted-coords bundles are pure functions of
+        # (H, W, mask[, K, coeffs]) — NOT of geometry or camera pose — so
+        # they live outside the per-geometry trace cache and survive
+        # variables/eigenfunction swaps. See _pixels_for_view.
+        self._pixel_cache = OrderedDict()
+        self._coords_cache = OrderedDict()
         self._fused = self._resolve_fused_infer(infer)
         self._refresh_geometry()
 
@@ -340,12 +361,90 @@ class Renderer:
     def set_height(self, height):
         self.H = height
         self._trace_cache.clear()  # cached traces are resolution-dependent
+        self._pixel_cache.clear()  # keys include (H, W) — clear to free HBM
+        self._coords_cache.clear()
         self._refresh_geometry()   # raster tile grid is sized by (H, W)
 
     def set_width(self, width):
         self.W = width
         self._trace_cache.clear()
+        self._pixel_cache.clear()
+        self._coords_cache.clear()
         self._refresh_geometry()
+
+    def _commit_rays(self, arr):
+        """Host ray-axis array -> committed device array (sharded over the
+        device mesh's ray axis when rendering D-way)."""
+        if self._mesh is None:
+            return jax.device_put(arr)
+        return jax.device_put(
+            arr, jax.sharding.NamedSharding(self._mesh, P(self._axis))
+        )
+
+    def _pixels_for_view(self, obj_mask_1d):
+        """LRU-cached per-view pixel bundle (see _PixelEntry).
+
+        The Morton-ordered pixel-index array is identical for every frame of
+        a video/turntable (and for every unmasked render at a given H, W),
+        yet it used to ride the host->device wire on EVERY dispatch — ~1 MB
+        of int32 per 512^2 frame, comparable to the whole color downlink on
+        the tunneled chip. Caching the committed device array makes repeated
+        views ship only the 4x4 camera matrix and 3x3 K."""
+        H, W = self.H, self.W
+        if obj_mask_1d is not None:
+            key = (H, W, hashlib.blake2b(
+                np.packbits(obj_mask_1d).tobytes(), digest_size=16).digest())
+        else:
+            key = (H, W, None)
+        entry = self._pixel_cache.get(key)
+        if entry is not None:
+            self._pixel_cache.move_to_end(key)
+            return key, entry
+        if obj_mask_1d is not None:
+            pix_idx = np.nonzero(obj_mask_1d)[0].astype(np.int32)
+        else:
+            pix_idx = np.arange(H * W, dtype=np.int32)
+        L = pix_idx.shape[0]
+        assert L > 0
+        # Z-order the pixels so each tracer ray-tile is a compact image block
+        # (tight bounding cone -> effective tile culling).
+        xy = np.stack([pix_idx % W, pix_idx // W], axis=-1)
+        morton = pixel_morton_order(xy)
+        pix_idx = pix_idx[morton]
+        hull = np.stack([xy.min(0), xy.max(0)]).astype(np.float32)
+        Lpad = -(-L // _PAD_BUCKET) * _PAD_BUCKET
+        idx_dev = self._commit_rays(np.pad(pix_idx, (0, Lpad - L), mode="edge"))
+        entry = _PixelEntry(pix_idx=pix_idx, morton=morton, L=L, Lpad=Lpad,
+                            hull=hull, idx_dev=idx_dev)
+        self._pixel_cache[key] = entry
+        while len(self._pixel_cache) > _PIXEL_CACHE_MAX:
+            self._pixel_cache.popitem(last=False)
+        return key, entry
+
+    def _coords_for_view(self, pix_key, px, K, distortion_coeffs):
+        """LRU-cached undistorted pixel coordinates (committed) + their hull.
+
+        Undistortion is a pure function of (pixel set, K, coeffs) — camera
+        POSE does not enter — so a Meshroom video/eval sweep with one
+        intrinsic block undistorts and uploads once."""
+        key = (pix_key, np.asarray(K, np.float64).tobytes(),
+               np.asarray(distortion_coeffs, np.float64).tobytes())
+        hit = self._coords_cache.get(key)
+        if hit is not None:
+            self._coords_cache.move_to_end(key)
+            return hit
+        pix_idx_pad = np.pad(px.pix_idx, (0, px.Lpad - px.L), mode="edge")
+        coords = np.stack(
+            [pix_idx_pad % self.W, pix_idx_pad // self.W], axis=-1
+        ).astype(np.float64)
+        coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
+        coords = coords.astype(np.float32)
+        hull = np.stack([coords[: px.L].min(0), coords[: px.L].max(0)])
+        entry = (self._commit_rays(coords), hull)
+        self._coords_cache[key] = entry
+        while len(self._coords_cache) > _PIXEL_CACHE_MAX:
+            self._coords_cache.popitem(last=False)
+        return entry
 
     def apply_mesh_transform(self, transform):
         self.mesh.apply_transform(transform)
@@ -545,21 +644,8 @@ class Renderer:
         if obj_mask_1d is not None:
             obj_mask_1d = np.asarray(obj_mask_1d).reshape(-1)
             assert obj_mask_1d.shape[0] == H * W
-            pix_idx = np.nonzero(obj_mask_1d)[0].astype(np.int32)
-        else:
-            pix_idx = np.arange(H * W, dtype=np.int32)
-        L = pix_idx.shape[0]
-        assert L > 0
-
-        # Z-order the pixels so each tracer ray-tile is a compact image block
-        # (tight bounding cone -> effective tile culling).
-        xy = np.stack([pix_idx % W, pix_idx // W], axis=-1)
-        morton = pixel_morton_order(xy)
-        pix_idx = pix_idx[morton]
-
-        Lpad = -(-L // _PAD_BUCKET) * _PAD_BUCKET
-        pad = Lpad - L
-        pix_idx_pad = np.pad(pix_idx, (0, pad), mode="edge")
+        pix_key, px = self._pixels_for_view(obj_mask_1d)
+        L, morton = px.L, px.morton
 
         full_key = None if cache_key is None else (cache_key, H, W)
         trace = None
@@ -572,31 +658,22 @@ class Renderer:
                 assert distortion_coeffs is not None
                 if distortion_type != DistortionTypes.MESHROOM_RADIAL_K3:
                     raise ValueError(f"Unknown distortion type: {distortion_type}")
-                coords = np.stack(
-                    [pix_idx_pad % W, pix_idx_pad // W], axis=-1
-                ).astype(np.float64)
-                coords = undistort_pixels_meshroom_radial_k3(coords, K, distortion_coeffs)
-                coords = coords.astype(np.float32)
+                coords_dev, hull = self._coords_for_view(
+                    pix_key, px, K, distortion_coeffs
+                )
                 args = (
-                    coords,
+                    coords_dev,
                     np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
                 )
                 if raster:
-                    hull = np.stack([coords.min(0), coords.max(0)])
                     args += (hull,)
                 trace = self._trace_coords(*args)
             else:
-                if raster:
-                    # Full-view pixel hull, host-side (see
-                    # _trace_from_indices_raster for why not per-shard).
-                    xy = np.stack(
-                        [pix_idx % W, pix_idx // W], axis=-1
-                    ).astype(np.float32)
-                    last = np.stack([xy.min(0), xy.max(0)])
-                else:
-                    last = np.int32(W)
+                # Full-view pixel hull, host-side (see
+                # _trace_from_indices_raster for why not per-shard).
+                last = px.hull if raster else np.int32(W)
                 trace = self._trace_idx(
-                    pix_idx_pad,
+                    px.idx_dev,
                     np.asarray(camCv2world, np.float32), np.asarray(K, np.float32),
                     last,
                 )

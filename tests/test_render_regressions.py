@@ -215,6 +215,80 @@ def test_wire_u8_matches_8bit_quantized_f16():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pixel_cache_reuse_and_mask_safety():
+    """The per-view pixel bundle (Morton-ordered indices, committed device
+    array) is cached across frames — repeated views must reuse ONE entry,
+    and a mask change must never serve another mask's bundle."""
+    r, m, efuncs = _renderer(32, 32)
+    K = _simple_K(32, 32)
+    cams = [
+        _look_at_cam(np.array([0.4, -2.8, 0.7])),
+        _look_at_cam(np.array([2.5, 0.5, -0.4])),
+    ]
+    for c in cams:  # turntable: many poses, one pixel set
+        r.render(c, K)
+    assert len(r._pixel_cache) == 1
+
+    mask_a = np.zeros(32 * 32, dtype=bool)
+    mask_a[: 32 * 32 // 2] = True
+    mask_b = ~mask_a
+    img_a = r.render(cams[0], K, obj_mask_1d=mask_a)
+    img_b = r.render(cams[0], K, obj_mask_1d=mask_b)
+    assert len(r._pixel_cache) == 3  # unmasked + two distinct masks
+    r.render(cams[1], K, obj_mask_1d=mask_a)  # repeat mask -> no growth
+    assert len(r._pixel_cache) == 3
+
+    # each masked render must equal a cache-cold renderer's output
+    fresh, _, _ = _renderer(32, 32)
+    np.testing.assert_array_equal(
+        img_a, fresh.render(cams[0], K, obj_mask_1d=mask_a)
+    )
+    np.testing.assert_array_equal(
+        img_b, fresh.render(cams[0], K, obj_mask_1d=mask_b)
+    )
+
+
+def test_distortion_coords_cache_correct_and_keyed():
+    """The undistorted-coords bundle is cached on (pixel set, K, coeffs):
+    zero-coefficient distortion must reproduce the pinhole render, repeated
+    coeffs must reuse one entry, and changing coeffs must re-undistort."""
+    from intrinsic_neural_fields_tpu.geometry.cameras import DistortionTypes
+
+    r, m, efuncs = _renderer(32, 32)
+    K = _simple_K(32, 32)
+    cam = _look_at_cam(np.array([0.4, -2.8, 0.7]))
+
+    plain = r.render(cam, K)
+    zero = r.render(
+        cam, K, distortion_coeffs=np.zeros(3),
+        distortion_type=DistortionTypes.MESHROOM_RADIAL_K3,
+    )
+    np.testing.assert_allclose(zero, plain, atol=2e-3)
+
+    cam2 = _look_at_cam(np.array([2.5, 0.5, -0.4]))
+    r.render(
+        cam2, K, distortion_coeffs=np.zeros(3),
+        distortion_type=DistortionTypes.MESHROOM_RADIAL_K3,
+    )
+    assert len(r._coords_cache) == 1  # pose change reuses the bundle
+
+    bent = r.render(
+        cam, K, distortion_coeffs=np.array([0.12, 0.0, 0.0]),
+        distortion_type=DistortionTypes.MESHROOM_RADIAL_K3,
+    )
+    assert len(r._coords_cache) == 2
+    assert not np.array_equal(bent, zero)
+    # and matches a cache-cold renderer with the same coefficients
+    fresh, _, _ = _renderer(32, 32)
+    np.testing.assert_array_equal(
+        bent,
+        fresh.render(
+            cam, K, distortion_coeffs=np.array([0.12, 0.0, 0.0]),
+            distortion_type=DistortionTypes.MESHROOM_RADIAL_K3,
+        ),
+    )
+
+
 def test_pipelined_async_render_identical_to_serial():
     """render_async/render_fetch with overlapping dispatches (the
     render_video/eval loop pattern) must be a pure reordering: frames are
