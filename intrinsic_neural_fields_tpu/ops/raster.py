@@ -20,10 +20,13 @@ pointer-chasing BVH, no variable-length lists):
   3. sort entries by (tile Morton id, quantized camera-space depth) — ONE
      stable jnp.argsort — and gather the per-face hit data into entry order,
      so a tile's candidates are one contiguous, front-to-back slice
-     (an MXU-built counting radix sort with the identical permutation is
-     available as sort_method="radix", but measured a large LOSER on real
-     TPU: its per-pass permutation scatters serialize — RESULTS.md round-5
-     raster note),
+     (two alternative sorts with the identical permutation exist:
+     sort_method="radix", an MXU counting radix — a large LOSER on real
+     TPU, its permutation scatters serialize — and sort_method="bitonic",
+     a roll-based explicit bitonic network — measured a WASH vs the sort
+     HLO at 2^18 keys (24.0 vs 24.7 ms standalone), showing XLA's sort
+     already runs the network at HBM-pass speed; RESULTS.md round-5
+     raster notes),
   4. each ray packet (Z-ordered pixels => a packet spans a contiguous tile
      Morton range) walks only its own slice in depth order, with the same
      per-(ray,face) dual-basis arithmetic as ops/intersect.py — bit-identical
@@ -178,9 +181,58 @@ def _stable_radix_argsort(keys, total_bits):
     return idx[:E]
 
 
+def _bitonic_argsort(keys, total_bits):
+    """Stable ascending argsort of non-negative int32 keys as an explicit
+    bitonic compare-exchange network over flat [2^m] arrays.
+
+    Bitonic networks are unstable, but comparing (key, index) pairs
+    LEXICOGRAPHICALLY makes every pair unique, and sorting by (key, index)
+    is exactly what a stable sort by key produces — so this returns the
+    SAME permutation as jnp.argsort(keys, stable=True), bit for bit
+    (tests/test_raster.py::test_bitonic_argsort_matches_stable_argsort).
+
+    Why another sort (after the radix negative result): the radix pass dies
+    on TPU's serialized permutation SCATTERS; a bitonic substage needs only
+    two jnp.rolls (slice+concat — layout-friendly) and elementwise selects,
+    so each of the m(m+1)/2 substages is one fused HBM-parallel elementwise
+    kernel over [2^m] int32 planes. That trades the `sort` HLO's generic
+    variadic comparator loop for straight-line vector code on the same
+    O(n log^2 n) network. total_bits is accepted for signature parity with
+    the other methods; the network size depends only on E.
+    """
+    del total_bits
+    E = keys.shape[0]
+    m = max(1, (E - 1).bit_length())
+    Ep = 1 << m
+    # Pads carry the maximal key (every real key is < 2^31-1: tile keys are
+    # bounded by the key-space assert in _bin_faces, overflow keys by 2^30),
+    # so lexicographic order glues them after all real entries.
+    pad_key = jnp.int32(2 ** 31 - 1)
+    k = jnp.pad(keys, (0, Ep - E), constant_values=pad_key)
+    idx = jnp.arange(Ep, dtype=jnp.int32)
+    iota = idx
+    for stage in range(1, m + 1):
+        for j in range(stage - 1, -1, -1):
+            s = 1 << j
+            is_lo = (iota & s) == 0
+            pk = jnp.where(is_lo, jnp.roll(k, -s), jnp.roll(k, s))
+            pi = jnp.where(is_lo, jnp.roll(idx, -s), jnp.roll(idx, s))
+            # ascending block iff bit `stage` of the element index is 0;
+            # the final stage has no such bit -> everything ascends.
+            asc = (iota & (1 << stage)) == 0
+            take_small = asc == is_lo
+            self_gt = (k > pk) | ((k == pk) & (idx > pi))
+            keep_self = jnp.where(take_small, ~self_gt, self_gt)
+            k = jnp.where(keep_self, k, pk)
+            idx = jnp.where(keep_self, idx, pi)
+    return idx[:E]
+
+
 def _argsort_keys(keys, total_bits, method):
     if method == "radix":
         return _stable_radix_argsort(keys, total_bits)
+    if method == "bitonic":
+        return _bitonic_argsort(keys, total_bits)
     return jnp.argsort(keys, stable=True)
 
 

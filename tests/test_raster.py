@@ -347,6 +347,47 @@ def test_radix_argsort_matches_stable_argsort():
         np.testing.assert_array_equal(got, want, err_msg=f"n={n} hi={hi}")
 
 
+def test_bitonic_argsort_matches_stable_argsort():
+    """The roll-based bitonic network must return the EXACT permutation of
+    jnp.argsort(stable=True): the lexicographic (key, index) comparator makes
+    the unstable network reproduce stable order on any duplicate density."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops.raster import _bitonic_argsort
+
+    rng = np.random.default_rng(1)
+    for n, hi in [(1, 2), (2, 2), (255, 16), (256, 1 << 14),
+                  (1000, 1 << 24), (4096, 1 << 30), (7777, 8)]:
+        keys = jnp.asarray(rng.integers(0, hi, size=n).astype(np.int32))
+        got = np.asarray(_bitonic_argsort(keys, 31))
+        want = np.asarray(jnp.argsort(keys, stable=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n} hi={hi}")
+
+
+def test_bitonic_binner_bit_identical_to_argsort():
+    """sort_method='bitonic' produces bit-identical traces to 'argsort'."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops.raster import intersect_coords_pinhole
+
+    H = W = 64
+    mesh = _sorted_blob(4)
+    verts = np.asarray(mesh.vertices, np.float32)
+    faces = np.asarray(mesh.faces, np.int32)
+    cam = _look_at_cam(3.0 * np.array([0.3, -0.9, 0.35]))
+    K = _simple_K(H, W)
+    coords = pixel_grid_coords(H, W)
+    coords = coords[pixel_morton_order(coords)]
+    hits_b = intersect_coords_pinhole(
+        verts, faces, cam, K, coords, W=W, H=H, sort_method="bitonic")
+    hits_a = intersect_coords_pinhole(
+        verts, faces, cam, K, coords, W=W, H=H, sort_method="argsort")
+    for fld in ("valid", "face_idx", "t", "bary"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(hits_b, fld)), np.asarray(getattr(hits_a, fld))
+        )
+
+
 def test_radix_and_argsort_binners_bit_identical():
     """sort_method='radix' (default) and 'argsort' produce bit-identical
     traces (same permutation => same tables => same hits)."""
