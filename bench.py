@@ -150,15 +150,20 @@ def bench_render_ours(frames=10, H=512, depth=2):
         cams.append(look_at_cam(eye))
 
     renderer.render(cams[0], Kmat)  # warm trace bucket + infer executables
-    t0 = time.perf_counter()
-    pipelined_foreach(
-        cams,
-        lambda cam: renderer.render_async(cam, Kmat),
-        lambda _cam, h: renderer.render_fetch(h),
-        depth=depth,
-    )
-    dt = time.perf_counter() - t0
-    return frames * H * W / dt
+    # Best-of-groups, same rationale as the train leg: the chip is
+    # time-shared and one polluted pass can halve the wall number; the
+    # minimum is the least-contended estimate of what the chip delivers.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipelined_foreach(
+            cams,
+            lambda cam: renderer.render_async(cam, Kmat),
+            lambda _cam, h: renderer.render_fetch(h),
+            depth=depth,
+        )
+        times.append(time.perf_counter() - t0)
+    return frames * H * W / float(np.min(times))
 
 
 # Reference render loop: Embree host trace + torch-CPU inference, measured at
