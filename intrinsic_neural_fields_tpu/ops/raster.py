@@ -228,11 +228,132 @@ def _bitonic_argsort(keys, total_bits):
     return idx[:E]
 
 
+def _make_bitonic_vmem_kernel(m):
+    """Pallas kernel: the FULL m(m+1)/2-substage bitonic network on
+    VMEM-resident [2^m] int32 (key, index) planes laid out [2^m/128, 128].
+
+    The HBM-level variants (sort HLO, _bitonic_argsort) pay a full memory
+    round trip per substage (~171 passes at 2^18) — that traffic IS their
+    cost (see the round-5 wash measurement). Here the planes load once
+    (2 x 1 MB at 2^18, far under the ~16 MB VMEM), every compare-exchange
+    runs on the VPU in straight-line unrolled code, and only the index
+    plane is written back.
+
+    Flat-index partner shifts on the [rows, 128] layout: a stride s
+    decomposes into a lane roll by s%128 plus a row roll by s//128, with a
+    one-extra-row fix for the lanes that wrap across a row boundary. Roll
+    wrap-around garbage is never selected: a bitonic partner i^s always
+    stays inside the array.
+
+    Compile-time shape: a fully unrolled network is m(m+1)/2 substage
+    bodies (171 at 2^18) and Mosaic compile time explodes past 10 minutes
+    at that size. Instead each of the m stages is ONE lax.fori_loop whose
+    trip count is the stage number and whose stride s = 1 << (stage-1-i)
+    is a traced scalar — pltpu.roll takes dynamic shifts (verified
+    bit-equal to jnp.roll for negative/over-size shifts on both axes), so
+    the body is substage-generic and the kernel is m loop bodies total.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(k_ref, i_ref, io_ref):
+        k = k_ref[...]
+        idx = i_ref[...]
+        rows = k.shape[0]
+        lane = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        row = lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        iota = row * 128 + lane
+
+        def flat_down(x, lane_s, row_s):
+            # value at flat i + (row_s*128 + lane_s); garbage at wrap.
+            # Shifts are POSITIVE residues — Mosaic's dynamic-rotate
+            # lowering check-fails on negative shifts.
+            nrows = jnp.int32(rows)
+            a = pltpu.roll(x, lax.rem(jnp.int32(128) - lane_s,
+                                      jnp.int32(128)), axis=1)
+            return jnp.where(lane < 128 - lane_s,
+                             pltpu.roll(a, lax.rem(nrows - row_s, nrows),
+                                        axis=0),
+                             pltpu.roll(a, lax.rem(2 * nrows - row_s - 1,
+                                                   nrows), axis=0))
+
+        def flat_up(x, lane_s, row_s):
+            # value at flat i - (row_s*128 + lane_s); garbage at wrap
+            a = pltpu.roll(x, lane_s, axis=1)
+            return jnp.where(lane >= lane_s,
+                             pltpu.roll(a, row_s, axis=0),
+                             pltpu.roll(a, row_s + 1, axis=0))
+
+        def partner(x, s, is_lo):
+            # value at flat i^s: i+s on the low half (is_lo), i-s above.
+            # roll(roll(x,-s), +2s) == roll(x, +s), so the up-half reuses
+            # the down-rolled plane — one lane/row decomposition saved
+            # (VMEM stack peak is the binding constraint at 2^18).
+            y = flat_down(x, lax.rem(s, jnp.int32(128)),
+                          lax.div(s, jnp.int32(128)))
+            s2 = 2 * s
+            up = flat_up(y, lax.rem(s2, jnp.int32(128)),
+                         lax.div(s2, jnp.int32(128)))
+            return jnp.where(is_lo, y, up)
+
+        def substage(s, stage_bit, k, idx):
+            is_lo = (iota & s) == 0
+            pk = partner(k, s, is_lo)
+            pi = partner(idx, s, is_lo)
+            # ascending block iff bit `stage` of the element index is 0
+            asc = (iota & stage_bit) == 0
+            take_small = asc == is_lo
+            self_gt = (k > pk) | ((k == pk) & (idx > pi))
+            # == where(take_small, ~self_gt, self_gt); Mosaic has no
+            # select between two i1 vectors, XOR is the same function
+            keep_self = jnp.logical_xor(self_gt, take_small)
+            return jnp.where(keep_self, k, pk), jnp.where(keep_self, idx, pi)
+
+        for stage in range(1, m + 1):
+            def body(i, carry, _stage=stage):
+                s = lax.shift_left(jnp.int32(1), jnp.int32(_stage - 1) - i)
+                return substage(s, jnp.int32(1 << _stage), *carry)
+            k, idx = lax.fori_loop(0, stage, body, (k, idx))
+        io_ref[...] = idx
+
+    return kernel
+
+
+def _bitonic_argsort_vmem(keys, total_bits, interpret=None):
+    """_bitonic_argsort's permutation (== stable argsort, same lexicographic
+    (key, index) trick) computed by ONE pallas call with the planes resident
+    in VMEM across all substages. Sizes above 2^21 (two >8 MB planes) fall
+    back to the HBM network rather than risk a Mosaic VMEM overflow."""
+    import jax.experimental.pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    E = keys.shape[0]
+    # >= 2^10 so the [rows, 128] layout has full (8, 128) int32 tiles
+    m = max(10, (E - 1).bit_length() if E > 1 else 1)
+    if m > 21:
+        return _bitonic_argsort(keys, total_bits)
+    Ep = 1 << m
+    pad_key = jnp.int32(2 ** 31 - 1)
+    k2 = jnp.pad(keys, (0, Ep - E), constant_values=pad_key).reshape(-1, 128)
+    i2 = lax.iota(jnp.int32, Ep).reshape(-1, 128)
+    idx = pl.pallas_call(
+        _make_bitonic_vmem_kernel(m),
+        out_shape=jax.ShapeDtypeStruct((Ep // 128, 128), jnp.int32),
+        # the index plane is consumed once at kernel entry, so it can be
+        # the output buffer — saves one [2^m] plane of scoped VMEM
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(k2, i2)
+    return idx.reshape(-1)[:E]
+
+
 def _argsort_keys(keys, total_bits, method):
     if method == "radix":
         return _stable_radix_argsort(keys, total_bits)
     if method == "bitonic":
         return _bitonic_argsort(keys, total_bits)
+    if method == "bitonic_vmem":
+        return _bitonic_argsort_vmem(keys, total_bits)
     return jnp.argsort(keys, stable=True)
 
 

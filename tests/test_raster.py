@@ -364,6 +364,24 @@ def test_bitonic_argsort_matches_stable_argsort():
         np.testing.assert_array_equal(got, want, err_msg=f"n={n} hi={hi}")
 
 
+def test_bitonic_vmem_argsort_matches_stable_argsort():
+    """The single-pallas-call VMEM-resident network (dynamic pltpu.roll
+    substages under lax.fori_loop, interpret mode on CPU) must also return
+    the EXACT stable-argsort permutation, including the <2^10 padding path
+    and non-power-of-two sizes."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops.raster import _bitonic_argsort_vmem
+
+    rng = np.random.default_rng(3)
+    for n, hi in [(1, 2), (255, 16), (1000, 1 << 24), (4096, 1 << 30),
+                  (5000, 8)]:
+        keys = jnp.asarray(rng.integers(0, hi, size=n).astype(np.int32))
+        got = np.asarray(_bitonic_argsort_vmem(keys, 31))
+        want = np.asarray(jnp.argsort(keys, stable=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n} hi={hi}")
+
+
 @pytest.mark.slow
 def test_bitonic_binner_bit_identical_to_argsort():
     """sort_method='bitonic' produces bit-identical traces to 'argsort'.
