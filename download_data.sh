@@ -6,19 +6,40 @@
 # same data/ layout so the reference preprocessing scripts and the
 # configs/texture_reconstruction etc. configs work unchanged.
 #
+# INF_DATA_URL_BASE overrides the archive source. A value that is a local
+# DIRECTORY is copied from instead of fetched — which is also how the
+# fetch/unpack/overwrite/failure logic is tested offline
+# (tests/test_download_data.py). INF_DATA_POINTS (space-separated, no .zip)
+# overrides the archive list for such tests.
+#
 # In a zero-egress environment the downloads fail; in that case use the
 # built-in synthetic data path instead:
 #   scripts/run_synthetic_end_to_end.sh   # builds data/synthetic{,_hq}/ and trains
 #   tools/make_synthetic_dataset.py       # the generator itself
 set -u
 
+urlBase="${INF_DATA_URL_BASE:-https://vision.in.tum.de/webshare/g/intrinsic-neural-fields/data}"
+
 mkdir -p data
 
-dataPoints=("cat_rescaled_rotated" "cat_dataset_v2_tiny" "cat_tri" "discretizations" "human" "human_dataset_v2_tiny" "human_tri" "shape_descriptors" "texture_transfer")
+if [ -n "${INF_DATA_POINTS:-}" ]; then
+    read -r -a dataPoints <<< "${INF_DATA_POINTS}"
+else
+    dataPoints=("cat_rescaled_rotated" "cat_dataset_v2_tiny" "cat_tri" "discretizations" "human" "human_dataset_v2_tiny" "human_tri" "shape_descriptors" "texture_transfer")
+fi
+
+fetch() {
+    # fetch <name>.zip into data/ — local-directory copy or wget
+    if [ -d "${urlBase}" ]; then
+        cp "${urlBase}/$1.zip" data/
+    else
+        wget "${urlBase}/$1.zip" -P data
+    fi
+}
 
 fail=0
 for dataPoint in "${dataPoints[@]}"; do
-    if wget "https://vision.in.tum.de/webshare/g/intrinsic-neural-fields/data/${dataPoint}.zip" -P data; then
+    if fetch "${dataPoint}"; then
         unzip -o "data/${dataPoint}.zip" -d data
         rm -f "data/${dataPoint}.zip"
     else
