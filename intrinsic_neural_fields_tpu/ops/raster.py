@@ -20,13 +20,15 @@ pointer-chasing BVH, no variable-length lists):
   3. sort entries by (tile Morton id, quantized camera-space depth) — ONE
      stable jnp.argsort — and gather the per-face hit data into entry order,
      so a tile's candidates are one contiguous, front-to-back slice
-     (two alternative sorts with the identical permutation exist:
+     (three alternative sorts with the identical permutation exist:
      sort_method="radix", an MXU counting radix — a large LOSER on real
-     TPU, its permutation scatters serialize — and sort_method="bitonic",
+     TPU, its permutation scatters serialize; sort_method="bitonic",
      a roll-based explicit bitonic network — measured a WASH vs the sort
      HLO at 2^18 keys (24.0 vs 24.7 ms standalone), showing XLA's sort
-     already runs the network at HBM-pass speed; RESULTS.md round-5
-     raster notes),
+     already runs the network at HBM-pass speed; and
+     sort_method="bitonic_vmem", the same network VMEM-resident in ONE
+     pallas call — also a WASH (dynamic sublane rotates cost what the
+     HBM round trips saved); RESULTS.md round-5 raster notes),
   4. each ray packet (Z-ordered pixels => a packet spans a contiguous tile
      Morton range) walks only its own slice in depth order, with the same
      per-(ray,face) dual-basis arithmetic as ops/intersect.py — bit-identical
