@@ -383,12 +383,15 @@ def test_bitonic_vmem_argsort_matches_stable_argsort():
 
 
 @pytest.mark.slow
-def test_bitonic_binner_bit_identical_to_argsort():
-    """sort_method='bitonic' produces bit-identical traces to 'argsort'.
+@pytest.mark.parametrize("method", ["bitonic", "bitonic_vmem"])
+def test_bitonic_binner_bit_identical_to_argsort(method):
+    """sort_method='bitonic'/'bitonic_vmem' produce bit-identical traces to
+    'argsort'.
 
-    Slow tier: the unrolled ~m(m+1)/2-substage networks (two sorts per
-    trace) take minutes of CPU XLA compile; the fast tier covers the
-    permutation itself in test_bitonic_argsort_matches_stable_argsort."""
+    Slow tier: the ~m(m+1)/2-substage networks (two sorts per trace) take
+    minutes of CPU XLA/interpret compile; the fast tier covers the
+    permutations themselves in test_bitonic_argsort_matches_stable_argsort
+    and test_bitonic_vmem_argsort_matches_stable_argsort."""
     import jax.numpy as jnp
 
     from intrinsic_neural_fields_tpu.ops.raster import intersect_coords_pinhole
@@ -402,7 +405,7 @@ def test_bitonic_binner_bit_identical_to_argsort():
     coords = pixel_grid_coords(H, W)
     coords = coords[pixel_morton_order(coords)]
     hits_b = intersect_coords_pinhole(
-        verts, faces, cam, K, coords, W=W, H=H, sort_method="bitonic")
+        verts, faces, cam, K, coords, W=W, H=H, sort_method=method)
     hits_a = intersect_coords_pinhole(
         verts, faces, cam, K, coords, W=W, H=H, sort_method="argsort")
     for fld in ("valid", "face_idx", "t", "bary"):
