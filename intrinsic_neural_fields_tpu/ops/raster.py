@@ -323,8 +323,10 @@ def _make_bitonic_vmem_kernel(m):
 def _bitonic_argsort_vmem(keys, total_bits, interpret=None):
     """_bitonic_argsort's permutation (== stable argsort, same lexicographic
     (key, index) trick) computed by ONE pallas call with the planes resident
-    in VMEM across all substages. Sizes above 2^21 (two >8 MB planes) fall
-    back to the HBM network rather than risk a Mosaic VMEM overflow."""
+    in VMEM across all substages. 2^18 is the largest size that fits the
+    16 MB scoped-VMEM stack (measured: peak ~16 MB there even after the
+    partner-reuse + output-aliasing cuts; every live plane doubles per m) —
+    larger sizes fall back to the sort HLO, which measured equal anyway."""
     import jax.experimental.pallas as pl
 
     if interpret is None:
@@ -332,8 +334,8 @@ def _bitonic_argsort_vmem(keys, total_bits, interpret=None):
     E = keys.shape[0]
     # >= 2^10 so the [rows, 128] layout has full (8, 128) int32 tiles
     m = max(10, (E - 1).bit_length() if E > 1 else 1)
-    if m > 21:
-        return _bitonic_argsort(keys, total_bits)
+    if m > 18:
+        return jnp.argsort(keys, stable=True)
     Ep = 1 << m
     pad_key = jnp.int32(2 ** 31 - 1)
     k2 = jnp.pad(keys, (0, Ep - E), constant_values=pad_key).reshape(-1, 128)

@@ -6,9 +6,9 @@ partial earlier run, cleanup of the downloaded zip, and the failure path's
 exit code + synthetic-data hint — is plain shell logic that must not wait
 for a networked machine to be known-good. INF_DATA_URL_BASE pointed at a
 local directory exercises the exact same script body (reference contract:
-/root/reference download_data.sh:1-11 — same nine archive names, same
-data/ unpack layout; the archive list itself is pinned by
-test_default_archive_list).
+tum-vision/intrinsic-neural-fields download_data.sh:1-11 — same nine
+archive names, same data/ unpack layout; the archive list itself is pinned
+by test_default_archive_list).
 """
 import os
 import subprocess
