@@ -149,6 +149,11 @@ def _stable_radix_argsort(keys, total_bits):
     E = keys.shape[0]
     R, K = _RADIX_BLOCK, _RADIX_DIGITS
     Ep = -(-E // R) * R
+    # Bucket bases ride f32 cumsums: exact only while counts fit the f32
+    # integer range. Fail loudly rather than silently mis-sort beyond it.
+    assert Ep < (1 << 24), (
+        f"radix argsort: {Ep} entries exceed exact-f32 counting range"
+    )
     # Pad with all-ones keys: max digit in EVERY pass, and stability keeps
     # the pads' relative order, so they stay glued to the end throughout.
     pad_key = jnp.int32(2 ** 31 - 1)
@@ -330,7 +335,9 @@ def _bitonic_argsort_vmem(keys, total_bits, interpret=None):
     import jax.experimental.pallas as pl
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # Mosaic kernel on TPU; interpret everywhere else (the pltpu.roll
+        # lowering is TPU-only, so e.g. a GPU backend must not compile it)
+        interpret = jax.default_backend() != "tpu"
     E = keys.shape[0]
     # >= 2^10 so the [rows, 128] layout has full (8, 128) int32 tiles
     m = max(10, (E - 1).bit_length() if E > 1 else 1)
@@ -358,6 +365,9 @@ def _argsort_keys(keys, total_bits, method):
         return _bitonic_argsort(keys, total_bits)
     if method == "bitonic_vmem":
         return _bitonic_argsort_vmem(keys, total_bits)
+    if method != "argsort":
+        raise ValueError(f"unknown sort_method {method!r}: expected "
+                         "'argsort', 'radix', 'bitonic', or 'bitonic_vmem'")
     return jnp.argsort(keys, stable=True)
 
 
@@ -406,6 +416,9 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
 
     zmin = jnp.min(qz, axis=1)                       # [F] depth lower bound
     frontal = zmin > _Z_NEAR                         # else -> overflow
+    # A face with EVERY vertex behind the camera plane can never be hit by
+    # a forward pinhole bundle (hit z = t*dz > 0); drop it outright.
+    hittable = jnp.max(qz, axis=1) > 0.0
 
     # Pinhole projection (guarded z: frontal==False rows are discarded).
     zs = jnp.maximum(qz, _Z_NEAR)
@@ -423,12 +436,19 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
     umin, umax = umin - margin, umax + margin
     vmin, vmax = vmin - margin, vmax + margin
 
-    # Faces fully outside the ray-coordinate hull can never be hit by a
-    # pixel ray of this bundle (margin already applied).
+    # Frontal faces fully outside the ray-coordinate hull can never be hit
+    # by a pixel ray of this bundle (margin already applied).
     onscreen = (
         (umax >= cmin[0]) & (umin <= cmax[0])
         & (vmax >= cmin[1]) & (vmin <= cmax[1])
     )
+    # Camera-plane-STRADDLING faces bypass the hull cull entirely: the
+    # eps-clamped projection above is not conservative for them (a vertex
+    # just behind the camera clamps toward the principal point, so the
+    # AABB can miss hull pixels the face's clipped visible portion covers
+    # — e.g. a one-sided masked-render hull). They are tested against
+    # every ray via the overflow segment.
+    vis = hittable & jnp.where(frontal, onscreen, True)
 
     inv_t = 1.0 / tile_px
     tx0 = jnp.clip(jnp.floor(umin * inv_t).astype(jnp.int32), 0, Tx - 1)
@@ -439,17 +459,22 @@ def _bin_faces(vertices, faces, camCv2world, K, cmin, cmax,
     span_y = ty1 - ty0 + 1
 
     binnable = fd.ok & frontal & (span_x <= 2) & (span_y <= 2)
-    overflow = fd.ok & onscreen & ~binnable
+    overflow = fd.ok & vis & ~binnable
     emit = binnable & onscreen
 
     # Depth quantization (lower-bound preserving: dequantized floor <= z).
+    # Straddling faces sort with z_eff = 0: their clipped visible part can
+    # be arbitrarily close to the camera, and any hit has t > 0, so 0 is
+    # the only sound early-exit bound for them (zmin would be negative and
+    # only stretch the quantization range).
+    z_eff = jnp.where(frontal, zmin, 0.0)
     big = jnp.float32(np.inf)
-    zmn = jnp.min(jnp.where(fd.ok & onscreen, zmin, big))
-    zmx = jnp.max(jnp.where(fd.ok & onscreen, zmin, -big))
+    zmn = jnp.min(jnp.where(fd.ok & vis, z_eff, big))
+    zmx = jnp.max(jnp.where(fd.ok & vis, z_eff, -big))
     zmn = jnp.minimum(zmn, zmx)  # both inf when nothing visible
     step = jnp.maximum((zmx - zmn) / _ZQ_MAX, 1e-30)
-    zq = jnp.clip(((zmin - zmn) / step).astype(jnp.int32), 0, _ZQ_MAX)
-    zfloor = zmn + zq.astype(jnp.float32) * step  # <= zmin <= any hit t
+    zq = jnp.clip(((z_eff - zmn) / step).astype(jnp.int32), 0, _ZQ_MAX)
+    zfloor = zmn + zq.astype(jnp.float32) * step  # <= z_eff <= any hit t
 
     key_bits = int(T_ids << _Z_BITS).bit_length()
     invalid_key = jnp.int32(T_ids << _Z_BITS)
@@ -746,11 +771,13 @@ def intersect_coords_pinhole_core(
     return hits
 
 
-@functools.partial(
+_intersect_coords_pinhole_jit = functools.partial(
     jax.jit,
     static_argnames=("W", "H", "tile_px", "ray_tile", "chunk", "t_max",
                      "compact", "sort_method"),
-)
+)(intersect_coords_pinhole_core)
+
+
 def intersect_coords_pinhole(
     vertices,
     faces,
@@ -781,7 +808,21 @@ def intersect_coords_pinhole(
     Returns a dense Hits (t in unit-direction parameterization, like
     intersect_rays given unit dirs).
     """
-    return intersect_coords_pinhole_core(
+    # The binning projection assumes a standard pinhole K: K[1,0] == 0 and
+    # K[2] == [0,0,1] (it handles column skew K[0,1] but not row skew or a
+    # projective third row, while ray_gen inverts the full K). Validate
+    # when K is concrete; inside an outer jit (traced K) the check is
+    # skipped — every in-repo caller passes concrete intrinsics.
+    if not isinstance(K, jax.core.Tracer):
+        Ka = np.asarray(K)[:3, :3]
+        if Ka[1, 0] != 0.0 or not np.allclose(Ka[2], (0.0, 0.0, 1.0)):
+            raise ValueError(
+                "intersect_coords_pinhole assumes pinhole intrinsics with "
+                "K[1,0] == 0 and K[2] == [0, 0, 1]; got "
+                f"K[1,0]={Ka[1, 0]!r}, K[2]={Ka[2]!r} — trace these rays "
+                "with intersect_rays instead"
+            )
+    return _intersect_coords_pinhole_jit(
         vertices, faces, camCv2world, K, coords,
         W=W, H=H, tile_px=tile_px, ray_tile=ray_tile, chunk=chunk,
         t_max=t_max, compact=compact, sort_method=sort_method,

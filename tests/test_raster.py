@@ -437,3 +437,79 @@ def test_radix_and_argsort_binners_bit_identical():
     np.testing.assert_array_equal(np.asarray(hits_r.face_idx), np.asarray(hits_a.face_idx))
     np.testing.assert_array_equal(np.asarray(hits_r.t), np.asarray(hits_a.t))
     np.testing.assert_array_equal(np.asarray(hits_r.bary), np.asarray(hits_a.bary))
+
+
+def test_straddling_face_found_with_one_sided_hull():
+    """A camera-plane-straddling face must not be culled by the coord-hull
+    test: the eps-clamped projection of a behind-camera vertex lands near
+    the principal point, so for a one-sided hull (masked render) the
+    clamped AABB can miss pixels the face's clipped visible portion
+    covers. Regression for the round-5 review finding: such faces route
+    to the overflow segment unconditionally and their hits must match the
+    dense tracer exactly."""
+    import jax.numpy as jnp
+
+    from intrinsic_neural_fields_tpu.ops import (
+        intersect_rays,
+        ray_origins_and_directions,
+    )
+    from intrinsic_neural_fields_tpu.ops.raster import intersect_coords_pinhole
+
+    W = H = 512
+    K = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]], np.float32)
+    cam = np.eye(3, 4, dtype=np.float32)  # camera at origin, looking +z
+    # One vertex behind the camera with qx=0: its clamped projection is the
+    # principal point u=256, so the face AABB tops out near u~357 — fully
+    # left of the hull below — while the visible clipped part reaches
+    # u~472 (edge P1->P3 at z~0.3).
+    verts = np.array(
+        [[0.2, -0.01, 1.0], [0.2, 0.01, 1.0], [0.0, 0.0, -1.0]], np.float32
+    )
+    faces = np.array([[0, 1, 2]], np.int32)
+    xs, ys = np.meshgrid(np.arange(400, 512), np.arange(250, 262))
+    coords = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(
+        np.float32) + 0.5
+
+    hits = intersect_coords_pinhole(
+        verts, faces, cam, K, coords, W=W, H=H)
+    o, d = ray_origins_and_directions(cam, K, coords)
+    ref = intersect_rays(verts, faces, o, d)
+    assert int(np.asarray(ref.valid).sum()) > 0, "scene must produce hits"
+    np.testing.assert_array_equal(np.asarray(hits.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(
+        np.asarray(hits.t)[np.asarray(ref.valid)],
+        np.asarray(ref.t)[np.asarray(ref.valid)], rtol=1e-5)
+
+    # A face ENTIRELY behind the camera is unhittable by a forward bundle
+    # and must be culled with no hits (matching the dense tracer).
+    verts_b = verts.copy()
+    verts_b[:, 2] = -np.abs(verts_b[:, 2]) - 0.1
+    hits_b = intersect_coords_pinhole(
+        verts_b, faces, cam, K, coords, W=W, H=H)
+    ref_b = intersect_rays(verts_b, faces, o, d)
+    assert not np.asarray(ref_b.valid).any()
+    assert not np.asarray(hits_b.valid).any()
+
+
+def test_unknown_sort_method_raises():
+    from intrinsic_neural_fields_tpu.ops.raster import _argsort_keys
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown sort_method"):
+        _argsort_keys(jnp.arange(8, dtype=jnp.int32), 4, "bitonic_vmen")
+
+
+def test_non_pinhole_K_rejected():
+    """Row-skew / projective intrinsics violate the binning projection's
+    assumptions and must be rejected loudly (ray_gen inverts the full K,
+    so a silent mismatch would mis-bin faces)."""
+    from intrinsic_neural_fields_tpu.ops.raster import intersect_coords_pinhole
+
+    verts = np.eye(3, dtype=np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    cam = np.eye(3, 4, dtype=np.float32)
+    coords = np.zeros((4, 2), np.float32)
+    bad = np.array([[500.0, 0, 8], [3.0, 500.0, 8], [0, 0, 1]], np.float32)
+    with pytest.raises(ValueError, match="pinhole intrinsics"):
+        intersect_coords_pinhole(verts, faces, cam, bad, coords, W=16, H=16)
