@@ -27,7 +27,6 @@ both passes and are sliced off outside.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -49,6 +48,14 @@ class FusedMLPSpec:
     hidden: int          # hidden width (must be a multiple of 128)
     skip_idx: int        # layer index with the input re-injection
     out_dim: int = 3
+
+    def __post_init__(self):
+        # The kernels assume lane-aligned hidden activations (e.g. the skip
+        # backward splits dcat at row `hidden`); fail at construction, not
+        # with an opaque Mosaic layout error.
+        assert self.hidden % 128 == 0, (
+            f"FusedMLPSpec.hidden must be a multiple of 128, got {self.hidden}"
+        )
 
     @property
     def k_pad(self):
@@ -76,19 +83,12 @@ class FusedMLPSpec:
 
 
 def params_to_list(spec: FusedMLPSpec, flax_params):
-    """Flax TextureField params -> padded [W, b] list in layer order."""
-    out = []
-    for name, role in spec.weight_names():
-        W = jnp.asarray(flax_params[name]["kernel"], jnp.float32)
-        b = jnp.asarray(flax_params[name]["bias"], jnp.float32)
-        if role in ("input", "skip_x"):
-            W = jnp.pad(W, ((0, spec.k_pad - spec.k_in), (0, 0)))
-        if role == "out":
-            W = jnp.pad(W, ((0, 0), (0, spec.out_pad - spec.out_dim)))
-            b = jnp.pad(b, (0, spec.out_pad - spec.out_dim))
-        out.append(W)
-        out.append(b.reshape(1, -1))
-    return out
+    """Flax TextureField params -> padded [W, b] list in layer order.
+
+    One composition so the padding rules live in a single place
+    (pad_flax_params) — a drift between the render-path operand list and
+    the training-path padded carry space would be silent corruption."""
+    return wb_from_padded(spec, pad_flax_params(spec, flax_params))
 
 
 def pad_flax_params(spec: FusedMLPSpec, flax_params):
@@ -147,7 +147,7 @@ def grads_to_padded(spec: FusedMLPSpec, grad_list):
     return out
 
 
-def grads_to_flax(spec: FusedMLPSpec, grad_list, flax_params_template=None):
+def grads_to_flax(spec: FusedMLPSpec, grad_list):
     """Inverse of params_to_list for gradients (strips padding)."""
     out = {}
     it = iter(grad_list)
@@ -327,8 +327,10 @@ def _loss_elem(loss_type, pred, gt):
         return jnp.abs(diff)
     if loss_type == "L2":
         return diff * diff
-    c2 = (20.0 / 255.0) ** 2
-    return c2 * jnp.log1p(diff * diff / c2)
+    if loss_type == "cauchy":
+        c2 = (20.0 / 255.0) ** 2
+        return c2 * jnp.log1p(diff * diff / c2)
+    raise ValueError(loss_type)
 
 
 def _train_grads_body(spec, loss_type, x, gt, wb, grad_refs, loss_ref, sq_ref,
@@ -1086,6 +1088,12 @@ class ViewDepTailSpec:
     d_hidden: int       # directional hidden width (lane multiple)
     rgb_dim: int = 3
 
+    def __post_init__(self):
+        assert self.d_hidden % 128 == 0, (
+            f"ViewDepTailSpec.d_hidden must be a multiple of 128, "
+            f"got {self.d_hidden}"
+        )
+
     @property
     def venc_pad(self):
         return _round_up(self.venc_in, 128)
@@ -1203,7 +1211,9 @@ def make_fused_apply_viewdep(spec: FusedMLPSpec, tail: ViewDepTailSpec,
     ENCODING (angle/extrinsic FourierFeatEnc) stays outside the kernel — it
     is a cheap fixed VPU function of the hit data and XLA fuses it into the
     surrounding graph; the kernel ingests the encoded rows. Inference only
-    (no VJP): training for this family runs the XLA path.
+    (no VJP) — TRAINING for this family runs the tail-mode train kernels
+    (make_fused_train_grads/make_fused_train_adam with tail=ViewDepTailSpec
+    on the streaming blocks path), not this function.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
