@@ -13,7 +13,6 @@ to the next multiple of a bucket size; jit caches one executable per bucket.
 from __future__ import annotations
 
 import hashlib
-import os
 from collections import OrderedDict
 from typing import NamedTuple
 
@@ -29,7 +28,7 @@ from ..ops.intersect import intersect_rays
 from ..ops.interpolate import interpolate_vertex_features
 from ..ops.morton import face_morton_order, pixel_morton_order
 from ..ops.raster import intersect_coords_pinhole_core
-from ..ops.ray_gen import pixel_grid_coords, ray_origins_and_directions
+from ..ops.ray_gen import ray_origins_and_directions
 
 _PAD_BUCKET = 1 << 15      # rays are padded to a multiple of this
 _INFER_CHUNK = 1 << 13     # model/feature-gather chunk inside the jit
@@ -178,7 +177,11 @@ class Renderer:
             D = int(np.prod(mesh_devices.devices.shape))
             assert _PAD_BUCKET % D == 0, (D, _PAD_BUCKET)
         self.model = model
-        self.variables = variables
+        # Committed to device once: a host (numpy) pytree here — e.g. from
+        # make_renderer_with_trained_model's checkpoint load — would ride
+        # the host->device wire on EVERY jitted dispatch (multi-MB per
+        # frame on the tunneled chip, dwarfing the cached pixel uploads).
+        self.variables = self._commit_replicated(variables)
         self.mesh = mesh
         self.feature_strategy = feature_strategy
         # wire_u8: ship rendered colors device->host as uint8 instead of
@@ -210,6 +213,7 @@ class Renderer:
         # variables/eigenfunction swaps. See _pixels_for_view.
         self._pixel_cache = OrderedDict()
         self._coords_cache = OrderedDict()
+        self._infer_mode = infer
         self._fused = self._resolve_fused_infer(infer)
         self._refresh_geometry()
 
@@ -276,23 +280,8 @@ class Renderer:
             skip_idx=self.model.skip_layer_idx,
             out_dim=(self.model.bottleneck_vec_dim if viewdep else 3),
         )
-        # VMEM-budgeted tile (VERDICT r4 weak #8): _pick_fused_tile models
-        # the heavier TRAINING working set (grad accumulators, saved
-        # activations), so its choice is strictly safe for the forward-only
-        # inference kernel and shrinks automatically for wide feature tables.
-        from ..train.steps import _pick_fused_tile
-
-        tile = _pick_fused_tile(spec, _INFER_CHUNK, x_bytes=4)
-        if tile >= _INFER_CHUNK:
-            # fallback value: no tile fit the VMEM budget (very wide k) —
-            # keep the XLA inference path instead of risking a Mosaic OOM
-            assert infer != "fused", (
-                f"infer='fused': k_in={k_in} busts the fused kernel's VMEM "
-                "budget at every tile size; use the XLA path"
-            )
-            return None
-        batch_tile = min(1024, tile)
-        assert _INFER_CHUNK % batch_tile == 0
+        tail = None
+        view_fn = None
         if viewdep:
             from ..models.texture_field import view_encoder_apply
 
@@ -308,11 +297,41 @@ class Renderer:
                 venc_in=venc_in,
                 d_hidden=self.model.directional_hidden_dim,
             )
+        # VMEM-budgeted tile (VERDICT r4 weak #8): _pick_fused_tile models
+        # the heavier TRAINING working set (grad accumulators, saved
+        # activations), so its choice is strictly safe for the forward-only
+        # inference kernel and shrinks automatically for wide feature tables.
+        # The tail is passed for the view-dependent family so the budget
+        # also covers the venc tiles and directional-head weights.
+        from ..train.steps import _pick_fused_tile
+
+        tile = _pick_fused_tile(spec, _INFER_CHUNK, x_bytes=4, tail=tail)
+        if tile >= _INFER_CHUNK:
+            # fallback value: no tile fit the VMEM budget (very wide k) —
+            # keep the XLA inference path instead of risking a Mosaic OOM
+            assert infer != "fused", (
+                f"infer='fused': k_in={k_in} busts the fused kernel's VMEM "
+                "budget at every tile size; use the XLA path"
+            )
+            return None
+        batch_tile = min(1024, tile)
+        assert _INFER_CHUNK % batch_tile == 0
+        if viewdep:
             apply_fn = make_fused_apply_viewdep(spec, tail, batch_tile=batch_tile)
             return spec, tail, apply_fn, pre_embed, view_fn
         return spec, None, make_fused_apply(spec, batch_tile=batch_tile), pre_embed, None
 
     def _refresh_geometry(self):
+        # Intrinsic view-dependent models snapshot face normals into the
+        # flax module (models/factory.py) and the fused view_fn closes over
+        # them — after a mesh transform/swap both would silently keep the
+        # STALE normals and every view angle (hence every color) would be
+        # wrong. Rebuild them whenever the mesh's normals changed.
+        if getattr(self.model, "view_dir_strategy", None) == "intrinsic":
+            fresh = np.asarray(self.mesh.face_normals, np.float32)
+            if not np.array_equal(fresh, np.asarray(self.model.face_normals)):
+                self.model = self.model.clone(face_normals=fresh)
+                self._fused = self._resolve_fused_infer(self._infer_mode)
         self._verts = jnp.asarray(self.mesh.vertices, jnp.float32)
         # Faces sorted spatially (Morton) so the tracer's tile culling bites;
         # _face_orig_ids maps sorted hit ids back to original mesh face ids
@@ -452,9 +471,18 @@ class Renderer:
             self.features = jnp.asarray(self.mesh.vertices, jnp.float32)
         self._refresh_geometry()
 
+    def _commit_replicated(self, tree):
+        """Host pytree -> device-resident (replicated over the render mesh);
+        a no-op view for leaves that already live on device."""
+        if self._mesh is None:
+            return jax.device_put(tree)
+        return jax.device_put(
+            tree, jax.sharding.NamedSharding(self._mesh, P())
+        )
+
     def update_variables(self, variables):
         """Point the renderer at new weights (no recompile: same structure)."""
-        self.variables = variables
+        self.variables = self._commit_replicated(variables)
 
     def set_eigenfunctions(self, eigenfunctions):
         """Swap the eigenbasis (texture transfer / discretization change)."""
@@ -641,16 +669,36 @@ class Renderer:
         on-device trace+inference. render() == render_fetch(render_async()).
         """
         H, W = self.H, self.W
+        assert self.background in ("white", "black")
+        bg = 1.0 if self.background == "white" else 0.0
         if obj_mask_1d is not None:
             obj_mask_1d = np.asarray(obj_mask_1d).reshape(-1)
             assert obj_mask_1d.shape[0] == H * W
+            if not obj_mask_1d.any():
+                # Empty object mask (fully occluded / out-of-frame view):
+                # trivially an all-background image — nothing to trace.
+                return _PendingRender(
+                    rgb_dev=np.zeros((0, 3), np.float32),
+                    valid_dev=np.zeros((0,), bool),
+                    morton=np.zeros(0, np.int64), L=0,
+                    obj_mask_1d=obj_mask_1d, bg=bg, H=H, W=W,
+                    eval_render=eval_render,
+                )
         pix_key, px = self._pixels_for_view(obj_mask_1d)
         L, morton = px.L, px.morton
 
         full_key = None if cache_key is None else (cache_key, H, W)
         trace = None
         if full_key is not None and full_key in self._trace_cache:
-            trace = self._trace_cache[full_key]
+            cached_pix, trace = self._trace_cache[full_key]
+            if cached_pix != pix_key:
+                # Same cache_key, different pixel mask: reusing the stale
+                # trace would silently scatter mismatched colors.
+                raise ValueError(
+                    f"render cache_key {cache_key!r} reused with a "
+                    "different object mask/resolution bundle — use a new "
+                    "cache_key per distinct view selection"
+                )
             self._trace_cache.move_to_end(full_key)
         if trace is None:
             raster = self._tracer == "raster"
@@ -678,12 +726,12 @@ class Renderer:
                     last,
                 )
             if full_key is not None:
-                self._trace_cache[full_key] = trace
+                # Stored with its pixel-bundle key so a cache_key reused
+                # with a different mask fails loudly on hit (see above).
+                self._trace_cache[full_key] = (pix_key, trace)
                 while len(self._trace_cache) > _TRACE_CACHE_MAX:
                     self._trace_cache.popitem(last=False)
 
-        assert self.background in ("white", "black")
-        bg = 1.0 if self.background == "white" else 0.0
         rgb_dev, valid_dev = self._infer(
             self.variables, self.features, trace, jnp.float32(bg)
         )

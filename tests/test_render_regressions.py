@@ -311,3 +311,68 @@ def test_pipelined_async_render_identical_to_serial():
         img2, idxs2 = r.render_fetch(h)
         np.testing.assert_array_equal(img, img2)
         np.testing.assert_array_equal(idxs, idxs2)
+
+
+def test_mesh_transform_refreshes_viewdep_normals():
+    """Intrinsic view-dependent models snapshot face normals into the flax
+    module (models/factory.py); apply_mesh_transform must rebuild that
+    snapshot or every post-transform view angle is computed against stale
+    normals (round-5 review finding — silent wrong colors)."""
+    m = icosphere(2)
+    k = 16
+    efuncs = np.random.default_rng(0).normal(
+        size=(m.num_vertices, k)).astype(np.float32)
+    cfg = {"k": k, "num_layers": 4, "mlp_hidden_dim": 128,
+           "skip_layer_idx": 2,
+           "view_dependence": {
+               "bottleneck_vec_dim": 128, "include_view_dir": True,
+               "embed_size": 4, "directional_hidden_dim": 128,
+               "in_dim_view_dir": 1, "strategy": "intrinsic"}}
+    model = make_model(cfg, mesh=m)
+    variables = init_model(model, cfg, mesh=m)
+    r = Renderer(model, variables, m, eigenfunctions=efuncs, H=24, W=24)
+    # 90-degree rotation about z: every face normal changes
+    T = np.eye(4)
+    T[:3, :3] = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    old = np.asarray(r.model.face_normals).copy()
+    r.apply_mesh_transform(T)
+    new = np.asarray(r.model.face_normals)
+    np.testing.assert_allclose(new, np.asarray(r.mesh.face_normals),
+                               atol=1e-6)
+    assert not np.allclose(new, old)
+    # and the refreshed renderer still renders
+    cam = _look_at_cam(np.array([0.0, -2.5, 0.3]))
+    K = _simple_K(24, 24)
+    img = r.render(cam, K)
+    assert img.shape == (24, 24, 3)
+    assert np.any(np.any(img != 1.0, axis=-1))
+
+
+def test_trace_cache_mask_mismatch_raises():
+    """Reusing a cache_key with a DIFFERENT object mask must fail loudly —
+    silently scattering a stale trace through the new morton permutation
+    corrupts the image (round-5 review finding)."""
+    r, m, efuncs = _renderer()
+    cam = _look_at_cam(np.array([0.0, -2.5, 0.3]))
+    K = _simple_K(48, 48)
+    mask = np.zeros(48 * 48, bool)
+    mask[: 48 * 24] = True
+    r.render(cam, K, obj_mask_1d=mask, cache_key="v")
+    # same key + same mask: fine (cache hit)
+    r.render(cam, K, obj_mask_1d=mask, cache_key="v")
+    mask2 = ~mask
+    with pytest.raises(ValueError, match="different object mask"):
+        r.render(cam, K, obj_mask_1d=mask2, cache_key="v")
+
+
+def test_empty_mask_renders_background():
+    """An all-False object mask (fully occluded view) must yield the
+    trivially correct all-background image, not an assertion failure."""
+    r, m, efuncs = _renderer()
+    cam = _look_at_cam(np.array([0.0, -2.5, 0.3]))
+    K = _simple_K(48, 48)
+    empty = np.zeros(48 * 48, bool)
+    img, hit_idx = r.render(cam, K, obj_mask_1d=empty, eval_render=True)
+    assert img.shape == (48, 48, 3)
+    assert (img == 1.0).all()
+    assert hit_idx.size == 0
